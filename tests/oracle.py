@@ -1,0 +1,62 @@
+"""Import reference (torch) modules as numerical test oracles.
+
+The reference at /root/reference is read-only public content used ONLY to
+generate golden outputs inside tests — no reference code lives in this repo.
+Missing third-party deps (librosa) and the unbuilt Cython monotonic_align are
+satisfied by the minimal shims in tests/refshim/.
+"""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SHIM = os.path.join(_HERE, "refshim")
+_REF = "/root/reference"
+
+_paths = {}
+
+
+def _load(tag, subdir, names):
+    """Import ``names`` with ``subdir`` at the front of sys.path, isolated per
+    subproject (the reference has several same-named module copies)."""
+    import importlib
+
+    key = (tag, tuple(names))
+    if key in _paths:
+        return _paths[key]
+    saved_mods = {n: sys.modules.pop(n, None) for n in _ALL_REF_MODULES}
+    sys.path.insert(0, os.path.join(_REF, subdir))
+    if _SHIM not in sys.path:
+        sys.path.insert(0, _SHIM)
+    try:
+        mods = tuple(importlib.import_module(n) for n in names)
+    finally:
+        sys.path.remove(os.path.join(_REF, subdir))
+        for n, m in saved_mods.items():
+            if m is not None and n not in sys.modules:
+                sys.modules[n] = m
+    _paths[key] = mods if len(names) > 1 else mods[0]
+    return _paths[key]
+
+
+_ALL_REF_MODULES = [
+    "commons", "modules", "attentions", "transforms", "models",
+    "mel_processing", "stft", "pqmf", "losses", "stft_loss", "monotonic_align",
+]
+
+
+def vits2(*names):
+    """Import modules from training/vits2 (e.g. oracle.vits2('modules'))."""
+    return _load("vits2", "training/vits2", names)
+
+
+def vosk_tts(*names):
+    """Import the inference package modules (pure python, e.g. g2p)."""
+    sys.path.insert(0, _REF)
+    import importlib
+
+    try:
+        mods = tuple(importlib.import_module(f"vosk_tts.{n}") for n in names)
+    finally:
+        sys.path.remove(_REF)
+    return mods if len(names) > 1 else mods[0]

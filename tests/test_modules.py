@@ -1,0 +1,192 @@
+"""Golden tests: WN/ResBlock/DDSConv/ConvReluNorm/flows vs reference torch modules."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+import oracle
+import convert_helpers as ch
+
+from vosk_tts_tpu.ops import (
+    wn_apply,
+    resblock1_apply,
+    resblock2_apply,
+    ddsconv_apply,
+    convrelunorm_apply,
+    log_flow,
+    flip_flow,
+    elementwise_affine_apply,
+    residual_coupling_apply,
+    convflow_apply,
+)
+
+modules = oracle.vits2("modules")
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def _mask(rng, b, t):
+    lengths = rng.integers(t // 2, t + 1, size=b)
+    m = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+    return m
+
+
+@pytest.mark.parametrize("gin", [0, 32])
+def test_wn(rng, gin):
+    torch.manual_seed(0)
+    h, k, dr, n = 16, 5, 2, 4
+    m = modules.WN(h, k, dr, n, gin_channels=gin)
+    b, t = 2, 24
+    x = rng.standard_normal((b, t, h)).astype(np.float32)
+    mask = _mask(rng, b, t)
+    g = rng.standard_normal((b, 1, gin)).astype(np.float32) if gin else None
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :]),
+                 g=torch.from_numpy(g.transpose(0, 2, 1)) if gin else None).numpy()
+    p = ch.wn_p(m)
+    got = wn_apply(p, jnp.asarray(x), jnp.asarray(mask[..., None]),
+                   jnp.asarray(g) if gin else None, kernel_size=k, dilation_rate=dr)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, **TOL)
+
+
+def test_resblock1(rng):
+    torch.manual_seed(0)
+    m = modules.ResBlock1(24, 3, (1, 3, 5))
+    b, t = 2, 32
+    x = rng.standard_normal((b, t, 24)).astype(np.float32)
+    mask = _mask(rng, b, t)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :])).numpy()
+    got = resblock1_apply(ch.resblock1_p(m), jnp.asarray(x), jnp.asarray(mask[..., None]),
+                          kernel_size=3, dilation=(1, 3, 5))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, **TOL)
+
+
+def test_resblock2(rng):
+    torch.manual_seed(0)
+    m = modules.ResBlock2(24, 3, (1, 3))
+    b, t = 2, 32
+    x = rng.standard_normal((b, t, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1))).numpy()
+    got = resblock2_apply(ch.resblock2_p(m), jnp.asarray(x), None, kernel_size=3, dilation=(1, 3))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, **TOL)
+
+
+def test_ddsconv(rng):
+    torch.manual_seed(0)
+    m = modules.DDSConv(16, 3, 3, p_dropout=0.0)
+    m.eval()
+    b, t = 2, 20
+    x = rng.standard_normal((b, t, 16)).astype(np.float32)
+    g = rng.standard_normal((b, t, 16)).astype(np.float32)
+    mask = _mask(rng, b, t)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :]),
+                 g=torch.from_numpy(g.transpose(0, 2, 1))).numpy()
+    got = ddsconv_apply(ch.ddsconv_p(m), jnp.asarray(x), jnp.asarray(mask[..., None]),
+                        g=jnp.asarray(g), kernel_size=3)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, **TOL)
+
+
+def test_convrelunorm(rng):
+    torch.manual_seed(0)
+    m = modules.ConvReluNorm(8, 16, 8, 5, 3, 0.0)
+    m.eval()
+    b, t = 2, 20
+    x = rng.standard_normal((b, t, 8)).astype(np.float32)
+    mask = _mask(rng, b, t)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :])).numpy()
+    got = convrelunorm_apply(ch.convrelunorm_p(m), jnp.asarray(x), jnp.asarray(mask[..., None]), kernel_size=5)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, **TOL)
+
+
+def test_log_flip_affine(rng):
+    b, t, c = 2, 12, 6
+    x = np.abs(rng.standard_normal((b, t, c))).astype(np.float32) + 0.1
+    mask = _mask(rng, b, t)
+    xt = torch.from_numpy(x.transpose(0, 2, 1))
+    mt = torch.from_numpy(mask[:, None, :])
+
+    got, ld = log_flow(jnp.asarray(x), jnp.asarray(mask[..., None]))
+    want, ldt = modules.Log()(xt, mt)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(ld), ldt.numpy(), rtol=1e-3, atol=1e-3)
+
+    got2 = flip_flow(jnp.asarray(x), reverse=True)
+    want2 = modules.Flip()(xt, reverse=True)
+    np.testing.assert_allclose(np.asarray(got2).transpose(0, 2, 1), want2.numpy(), **TOL)
+
+    torch.manual_seed(1)
+    ea = modules.ElementwiseAffine(c)
+    with torch.no_grad():
+        ea.m.uniform_(-1, 1)
+        ea.logs.uniform_(-1, 1)
+    p = ch.elementwise_affine_p(ea)
+    got3, ld3 = elementwise_affine_apply(p, jnp.asarray(x), jnp.asarray(mask[..., None]))
+    with torch.no_grad():
+        want3, ld3t = ea(xt, mt)
+    np.testing.assert_allclose(np.asarray(got3).transpose(0, 2, 1), want3.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(ld3), ld3t.numpy(), rtol=1e-3, atol=1e-3)
+    # reverse roundtrip
+    back = elementwise_affine_apply(p, got3, jnp.asarray(mask[..., None]), reverse=True)
+    np.testing.assert_allclose(np.asarray(back), x * mask[..., None], **TOL)
+
+
+@pytest.mark.parametrize("gin,mean_only", [(0, False), (0, True), (32, True)])
+def test_residual_coupling(rng, gin, mean_only):
+    torch.manual_seed(0)
+    c, h, k, dr, n = 8, 16, 5, 1, 3
+    m = modules.ResidualCouplingLayer(c, h, k, dr, n, gin_channels=gin, mean_only=mean_only)
+    with torch.no_grad():  # zero-init post would make the coupling identity
+        m.post.weight.uniform_(-0.1, 0.1)
+        m.post.bias.uniform_(-0.1, 0.1)
+    b, t = 2, 16
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    mask = _mask(rng, b, t)
+    g = rng.standard_normal((b, 1, gin)).astype(np.float32) if gin else None
+    with torch.no_grad():
+        want, ldt = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :]),
+                      g=torch.from_numpy(g.transpose(0, 2, 1)) if gin else None)
+    p = ch.coupling_p(m)
+    got, ld = residual_coupling_apply(p, jnp.asarray(x), jnp.asarray(mask[..., None]),
+                                      jnp.asarray(g) if gin else None,
+                                      kernel_size=k, dilation_rate=dr, mean_only=mean_only)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want.numpy(), **TOL)
+    np.testing.assert_allclose(np.asarray(ld), ldt.numpy(), rtol=1e-3, atol=1e-3)
+    # reverse inverts forward
+    back = residual_coupling_apply(p, got, jnp.asarray(mask[..., None]),
+                                   jnp.asarray(g) if gin else None, reverse=True,
+                                   kernel_size=k, dilation_rate=dr, mean_only=mean_only)
+    # x0 passes through the coupling unmasked; compare within the mask only
+    np.testing.assert_allclose(np.asarray(back) * mask[..., None], x * mask[..., None], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_convflow(rng, reverse):
+    torch.manual_seed(0)
+    cin, fc, k, n = 2, 24, 3, 3
+    m = modules.ConvFlow(cin, fc, k, n)
+    with torch.no_grad():  # non-trivial spline
+        m.proj.weight.uniform_(-0.5, 0.5)
+        m.proj.bias.uniform_(-0.5, 0.5)
+    m.eval()
+    b, t = 2, 14
+    x = rng.standard_normal((b, t, cin)).astype(np.float32) * 2.0
+    mask = _mask(rng, b, t)
+    with torch.no_grad():
+        out = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :]), reverse=reverse)
+    p = ch.convflow_p(m)
+    got = convflow_apply(p, jnp.asarray(x), jnp.asarray(mask[..., None]), reverse=reverse,
+                         filter_channels=fc, kernel_size=k)
+    if reverse:
+        want = out
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want.numpy(), rtol=1e-3, atol=1e-3)
+    else:
+        want, ldt = out
+        gx, ld = got
+        np.testing.assert_allclose(np.asarray(gx).transpose(0, 2, 1), want.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ld), ldt.numpy(), rtol=1e-3, atol=1e-3)

@@ -21,3 +21,47 @@ from .commons import (
 )
 from .conv import conv1d, conv_transpose1d, depthwise_conv1d
 from .norm import layer_norm
+from .stft import (
+    istft,
+    istft_onnx,
+    spectrogram,
+    spec_to_mel,
+    mel_spectrogram,
+    mel_filterbank,
+)
+from .wn import (
+    wn_init,
+    wn_apply,
+    resblock1_init,
+    resblock1_apply,
+    resblock2_init,
+    resblock2_apply,
+    ddsconv_init,
+    ddsconv_apply,
+    convrelunorm_init,
+    convrelunorm_apply,
+    leaky_relu,
+)
+from .attention import (
+    mha_init,
+    mha_apply,
+    ffn_init,
+    ffn_apply,
+    encoder_init,
+    encoder_apply,
+    fft_init,
+    fft_apply,
+)
+from .flows import (
+    log_flow,
+    flip_flow,
+    elementwise_affine_init,
+    elementwise_affine_apply,
+    residual_coupling_init,
+    residual_coupling_apply,
+    convflow_init,
+    convflow_apply,
+)
+from .transforms import piecewise_rational_quadratic_transform
+from .pqmf import pqmf_analysis, pqmf_synthesis, pqmf_filters
+from .mas import maximum_path

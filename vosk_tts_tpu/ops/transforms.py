@@ -1,0 +1,188 @@
+"""Piecewise rational-quadratic spline transform (Durkan et al., neural
+spline flows), matching training/vits2/transforms.py:12-193 numerically.
+
+Reference implementation scatters through boolean masks (GPU-ism); here the
+in/out-of-interval split is a branch-free ``jnp.where`` over the full tensor —
+every lane does the same work, which is exactly what the VPU wants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_MIN_BIN_WIDTH = 1e-3
+DEFAULT_MIN_BIN_HEIGHT = 1e-3
+DEFAULT_MIN_DERIVATIVE = 1e-3
+
+
+def _searchsorted(bin_locations: jax.Array, inputs: jax.Array, eps: float = 1e-6) -> jax.Array:
+    bin_locations = bin_locations.at[..., -1].add(eps)
+    return jnp.sum(inputs[..., None] >= bin_locations, axis=-1) - 1
+
+
+def rational_quadratic_spline(
+    inputs: jax.Array,
+    unnormalized_widths: jax.Array,
+    unnormalized_heights: jax.Array,
+    unnormalized_derivatives: jax.Array,
+    *,
+    inverse: bool = False,
+    left=0.0,
+    right=1.0,
+    bottom=0.0,
+    top=1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+):
+    """inputs: (...,); unnormalized_*: (..., num_bins[, +1]) -> (outputs, logabsdet)."""
+    num_bins = unnormalized_widths.shape[-1]
+
+    widths = jax.nn.softmax(unnormalized_widths, axis=-1)
+    widths = min_bin_width + (1 - min_bin_width * num_bins) * widths
+    cumwidths = jnp.cumsum(widths, axis=-1)
+    cumwidths = jnp.pad(cumwidths, [(0, 0)] * (cumwidths.ndim - 1) + [(1, 0)])
+    cumwidths = (right - left) * cumwidths + left
+    cumwidths = cumwidths.at[..., 0].set(left).at[..., -1].set(right)
+    widths = cumwidths[..., 1:] - cumwidths[..., :-1]
+
+    derivatives = min_derivative + jax.nn.softplus(unnormalized_derivatives)
+
+    heights = jax.nn.softmax(unnormalized_heights, axis=-1)
+    heights = min_bin_height + (1 - min_bin_height * num_bins) * heights
+    cumheights = jnp.cumsum(heights, axis=-1)
+    cumheights = jnp.pad(cumheights, [(0, 0)] * (cumheights.ndim - 1) + [(1, 0)])
+    cumheights = (top - bottom) * cumheights + bottom
+    cumheights = cumheights.at[..., 0].set(bottom).at[..., -1].set(top)
+    heights = cumheights[..., 1:] - cumheights[..., :-1]
+
+    bin_idx = _searchsorted(cumheights if inverse else cumwidths, inputs)
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+
+    def gather(t):
+        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+
+    input_cumwidths = gather(cumwidths)
+    input_bin_widths = gather(widths)
+    input_cumheights = gather(cumheights)
+    delta = heights / widths
+    input_delta = gather(delta)
+    input_derivatives = gather(derivatives)
+    input_derivatives_plus_one = gather(derivatives[..., 1:])
+    input_heights = gather(heights)
+
+    if inverse:
+        a = (inputs - input_cumheights) * (
+            input_derivatives + input_derivatives_plus_one - 2 * input_delta
+        ) + input_heights * (input_delta - input_derivatives)
+        b = input_heights * input_derivatives - (inputs - input_cumheights) * (
+            input_derivatives + input_derivatives_plus_one - 2 * input_delta
+        )
+        c = -input_delta * (inputs - input_cumheights)
+        discriminant = b**2 - 4 * a * c
+        root = (2 * c) / (-b - jnp.sqrt(jnp.maximum(discriminant, 0.0)))
+        outputs = root * input_bin_widths + input_cumwidths
+        theta_one_minus_theta = root * (1 - root)
+        denominator = input_delta + (
+            (input_derivatives + input_derivatives_plus_one - 2 * input_delta) * theta_one_minus_theta
+        )
+        derivative_numerator = input_delta**2 * (
+            input_derivatives_plus_one * root**2
+            + 2 * input_delta * theta_one_minus_theta
+            + input_derivatives * (1 - root) ** 2
+        )
+        logabsdet = jnp.log(derivative_numerator) - 2 * jnp.log(denominator)
+        return outputs, -logabsdet
+    else:
+        theta = (inputs - input_cumwidths) / input_bin_widths
+        theta_one_minus_theta = theta * (1 - theta)
+        numerator = input_heights * (input_delta * theta**2 + input_derivatives * theta_one_minus_theta)
+        denominator = input_delta + (
+            (input_derivatives + input_derivatives_plus_one - 2 * input_delta) * theta_one_minus_theta
+        )
+        outputs = input_cumheights + numerator / denominator
+        derivative_numerator = input_delta**2 * (
+            input_derivatives_plus_one * theta**2
+            + 2 * input_delta * theta_one_minus_theta
+            + input_derivatives * (1 - theta) ** 2
+        )
+        logabsdet = jnp.log(derivative_numerator) - 2 * jnp.log(denominator)
+        return outputs, logabsdet
+
+
+def unconstrained_rational_quadratic_spline(
+    inputs: jax.Array,
+    unnormalized_widths: jax.Array,
+    unnormalized_heights: jax.Array,
+    unnormalized_derivatives: jax.Array,
+    *,
+    inverse: bool = False,
+    tail_bound: float = 1.0,
+    min_bin_width: float = DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height: float = DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative: float = DEFAULT_MIN_DERIVATIVE,
+):
+    """Linear tails outside [-tail_bound, tail_bound] (transforms.py:55-95)."""
+    inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
+
+    pads = [(0, 0)] * (unnormalized_derivatives.ndim - 1) + [(1, 1)]
+    unnormalized_derivatives = jnp.pad(unnormalized_derivatives, pads)
+    constant = float(np.log(np.expm1(1 - min_derivative)))
+    unnormalized_derivatives = unnormalized_derivatives.at[..., 0].set(constant).at[..., -1].set(constant)
+
+    # Branch-free: run the spline on clamped inputs everywhere, select after.
+    safe_inputs = jnp.clip(inputs, -tail_bound, tail_bound)
+    spline_out, spline_logdet = rational_quadratic_spline(
+        safe_inputs,
+        unnormalized_widths,
+        unnormalized_heights,
+        unnormalized_derivatives,
+        inverse=inverse,
+        left=-tail_bound,
+        right=tail_bound,
+        bottom=-tail_bound,
+        top=tail_bound,
+        min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height,
+        min_derivative=min_derivative,
+    )
+    outputs = jnp.where(inside, spline_out, inputs)
+    logabsdet = jnp.where(inside, spline_logdet, 0.0)
+    return outputs, logabsdet
+
+
+def piecewise_rational_quadratic_transform(
+    inputs,
+    unnormalized_widths,
+    unnormalized_heights,
+    unnormalized_derivatives,
+    *,
+    inverse=False,
+    tails=None,
+    tail_bound=1.0,
+    min_bin_width=DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=DEFAULT_MIN_DERIVATIVE,
+):
+    if tails is None:
+        fn = rational_quadratic_spline
+        kw = {}
+    elif tails == "linear":
+        fn = unconstrained_rational_quadratic_spline
+        kw = {"tail_bound": tail_bound}
+    else:
+        raise NotImplementedError(tails)
+    return fn(
+        inputs,
+        unnormalized_widths,
+        unnormalized_heights,
+        unnormalized_derivatives,
+        inverse=inverse,
+        min_bin_width=min_bin_width,
+        min_bin_height=min_bin_height,
+        min_derivative=min_derivative,
+        **kw,
+    )
