@@ -26,8 +26,11 @@ def _load(tag, subdir, names):
         return _paths[key]
     saved_mods = {n: sys.modules.pop(n, None) for n in _ALL_REF_MODULES}
     sys.path.insert(0, os.path.join(_REF, subdir))
-    if _SHIM not in sys.path:
-        sys.path.insert(0, _SHIM)
+    # the shim must stay AHEAD of the reference dir (its monotonic_align /
+    # librosa / torchaudio stand-ins shadow unbuildable reference imports)
+    if _SHIM in sys.path:
+        sys.path.remove(_SHIM)
+    sys.path.insert(0, _SHIM)
     try:
         mods = tuple(importlib.import_module(n) for n in names)
     finally:

@@ -1,0 +1,772 @@
+"""VITS2 / MB-iSTFT-VITS2 model family — TPU-native (JAX, channels-last).
+
+Functional re-design of the reference training/vits2/models.py:
+  TextEncoder            — models.py:283-326
+  StochasticDurationPredictor — models.py:23-101
+  DurationPredictor      — models.py:104-138
+  PosteriorEncoder       — models.py:813-842
+  Flow blocks            — models.py:329-762 (plain / pre_conv / pre_conv2 /
+                           fft / mono_layer_{inter,post}_residual)
+  Generators             — models.py:845-1169 (HiFiGAN / iSTFT / MB-iSTFT-PQMF /
+                           MS-iSTFT learned-filter)
+  SynthesizerTrn         — models.py:1503-1719 (train fwd / infer / voice_conversion)
+
+TPU-first differences from the reference:
+  * everything is jittable with STATIC shapes — inference takes a
+    ``max_frames`` bucket instead of a dynamic duration-dependent output
+    length (models.py:1691); real lengths are returned for trimming;
+  * MAS runs ON DEVICE (ops/mas.py lax.scan wavefront) instead of the
+    GPU→Cython→GPU round trip;
+  * transposed convs lower through the subpixel fast path (ops/conv.py);
+  * iSTFT/PQMF are single-matmul formulations (ops/stft.py, ops/pqmf.py);
+  * weight norm is folded into plain weights (conversion folds g*v/||v||).
+
+Parameter pytrees mirror the reference module tree so checkpoint conversion
+is a name map (utils/torch_params.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import attention as att
+from ..ops import flows as fl
+from ..ops import wn as wnops
+from ..ops.commons import fused_gate, generate_path, rand_slice_segments, sequence_mask
+from ..ops.conv import conv1d, conv_transpose1d
+from ..ops.mas import maximum_path
+from ..ops.norm import layer_norm
+from ..ops.pqmf import pqmf_synthesis
+from ..ops.stft import istft, istft_onnx
+from ..ops.wn import _conv_init, leaky_relu
+
+
+@dataclass(frozen=True)
+class VITS2Config:
+    n_vocab: int = 62
+    spec_channels: int = 80  # mel posterior (use_mel_posterior_encoder)
+    segment_size: int = 32  # frames (train segment samples // hop)
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (4, 4)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16)
+    gen_istft_n_fft: int = 16
+    gen_istft_hop_size: int = 4
+    subbands: int = 4
+    n_speakers: int = 200
+    gin_channels: int = 256
+    use_sdp: bool = True
+    use_spk_conditioned_encoder: bool = True
+    use_transformer_flows: bool = True
+    transformer_flow_type: str = "pre_conv2"
+    decoder_type: str = "mb_istft"  # mb_istft | ms_istft | istft | hifigan
+    istft_mode: str = "torch"  # "torch" (training parity) | "onnx" (export parity)
+    use_noise_scaled_mas: bool = False
+    mas_noise_scale_initial: float = 0.01
+    noise_scale_delta: float = 2e-6
+
+    @property
+    def enc_gin_channels(self) -> int:
+        return self.gin_channels if (self.use_spk_conditioned_encoder and self.gin_channels > 0) else 0
+
+    @property
+    def upsample_factor(self) -> int:
+        """Total samples per input frame produced by the decoder."""
+        up = 1
+        for u in self.upsample_rates:
+            up *= u
+        if self.decoder_type in ("mb_istft", "ms_istft"):
+            return up * self.gen_istft_hop_size * self.subbands
+        if self.decoder_type == "istft":
+            return up * self.gen_istft_hop_size
+        return up
+
+    @classmethod
+    def from_reference_json(cls, model_cfg: dict, data_cfg: dict | None = None, train_cfg: dict | None = None):
+        """Build from the reference config.json 'model' block
+        (training/vits2/configs/mb_istft_vits2_multi.json)."""
+        data_cfg = data_cfg or {}
+        train_cfg = train_cfg or {}
+        if model_cfg.get("mb_istft_vits"):
+            decoder = "mb_istft"
+        elif model_cfg.get("ms_istft_vits"):
+            decoder = "ms_istft"
+        elif model_cfg.get("istft_vits"):
+            decoder = "istft"
+        else:
+            decoder = "hifigan"
+        spec_channels = (
+            data_cfg.get("n_mel_channels", 80)
+            if model_cfg.get("use_mel_posterior_encoder", False)
+            else data_cfg.get("filter_length", 1024) // 2 + 1
+        )
+        seg = train_cfg.get("segment_size", 8192) // data_cfg.get("hop_length", 256)
+        return cls(
+            n_vocab=model_cfg.get("n_vocab", 62),
+            spec_channels=spec_channels,
+            segment_size=seg,
+            inter_channels=model_cfg["inter_channels"],
+            hidden_channels=model_cfg["hidden_channels"],
+            filter_channels=model_cfg["filter_channels"],
+            n_heads=model_cfg["n_heads"],
+            n_layers=model_cfg["n_layers"],
+            kernel_size=model_cfg["kernel_size"],
+            p_dropout=model_cfg["p_dropout"],
+            resblock=model_cfg["resblock"],
+            resblock_kernel_sizes=tuple(model_cfg["resblock_kernel_sizes"]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in model_cfg["resblock_dilation_sizes"]),
+            upsample_rates=tuple(model_cfg["upsample_rates"]),
+            upsample_initial_channel=model_cfg["upsample_initial_channel"],
+            upsample_kernel_sizes=tuple(model_cfg["upsample_kernel_sizes"]),
+            gen_istft_n_fft=model_cfg.get("gen_istft_n_fft", 16),
+            gen_istft_hop_size=model_cfg.get("gen_istft_hop_size", 4),
+            subbands=model_cfg.get("subbands", 4),
+            n_speakers=data_cfg.get("n_speakers", model_cfg.get("n_speakers", 0)),
+            gin_channels=model_cfg.get("gin_channels", 0),
+            use_sdp=model_cfg.get("use_sdp", True),
+            use_spk_conditioned_encoder=model_cfg.get("use_spk_conditioned_encoder", False),
+            use_transformer_flows=model_cfg.get("use_transformer_flows", False),
+            transformer_flow_type=model_cfg.get("transformer_flow_type", "pre_conv"),
+            decoder_type=decoder,
+            use_noise_scaled_mas=model_cfg.get("use_noise_scaled_mas", False),
+            mas_noise_scale_initial=model_cfg.get("mas_noise_scale_initial", 0.01),
+            noise_scale_delta=model_cfg.get("noise_scale_delta", 2e-6),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Text encoder (models.py:283-326)
+# ---------------------------------------------------------------------------
+
+
+def text_encoder_init(key, cfg: VITS2Config):
+    k_emb, k_enc, k_proj = jax.random.split(key, 3)
+    h = cfg.hidden_channels
+    return {
+        "emb": jax.random.normal(k_emb, (cfg.n_vocab, h)) * h**-0.5,
+        "encoder": att.encoder_init(
+            k_enc, h, cfg.filter_channels, cfg.n_heads, cfg.n_layers, cfg.kernel_size, gin=cfg.enc_gin_channels
+        ),
+        "proj": _conv_init(k_proj, 1, h, cfg.inter_channels * 2),
+    }
+
+
+def text_encoder_apply(params, cfg: VITS2Config, x_ids, x_lengths, g=None, *, rng=None):
+    """x_ids: (B, T) int32 -> (x (B,T,H), m, logs, x_mask (B,T,1))."""
+    h = cfg.hidden_channels
+    x = params["emb"][x_ids] * math.sqrt(h)
+    x_mask = sequence_mask(x_lengths, x_ids.shape[1]).astype(x.dtype)[..., None]
+    x = att.encoder_apply(
+        params["encoder"], x * x_mask, x_mask, g,
+        n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
+        p_dropout=cfg.p_dropout if rng is not None else 0.0, rng=rng,
+    )
+    stats = conv1d(x, params["proj"]["w"], params["proj"]["b"]) * x_mask
+    m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
+    return x, m, logs, x_mask
+
+
+# ---------------------------------------------------------------------------
+# Duration predictors (models.py:23-138)
+# ---------------------------------------------------------------------------
+
+
+def sdp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int = 3, n_flows: int = 4):
+    keys = jax.random.split(key, 10 + 2 * n_flows + 8)
+    ki = iter(range(len(keys)))
+    fc = filter_channels
+    p = {
+        "pre": _conv_init(keys[next(ki)], 1, cfg.hidden_channels, fc),
+        "proj": _conv_init(keys[next(ki)], 1, fc, fc),
+        "convs": wnops.ddsconv_init(keys[next(ki)], fc, kernel_size, 3),
+        "flows": [fl.elementwise_affine_init(2)]
+        + [fl.convflow_init(keys[next(ki)], 2, fc, kernel_size, 3) for _ in range(n_flows)],
+        "post_pre": _conv_init(keys[next(ki)], 1, 1, fc),
+        "post_proj": _conv_init(keys[next(ki)], 1, fc, fc),
+        "post_convs": wnops.ddsconv_init(keys[next(ki)], fc, kernel_size, 3),
+        "post_flows": [fl.elementwise_affine_init(2)]
+        + [fl.convflow_init(keys[next(ki)], 2, fc, kernel_size, 3) for _ in range(4)],
+    }
+    if cfg.gin_channels:
+        p["cond"] = _conv_init(keys[next(ki)], 1, cfg.gin_channels, fc)
+    return p
+
+
+def _sdp_context(params, cfg, x, x_mask, g, *, kernel_size=3):
+    x = jax.lax.stop_gradient(x)
+    x = conv1d(x, params["pre"]["w"], params["pre"]["b"])
+    if g is not None:
+        g = jax.lax.stop_gradient(g)
+        x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
+    x = wnops.ddsconv_apply(params["convs"], x, x_mask, kernel_size=kernel_size)
+    return conv1d(x, params["proj"]["w"], params["proj"]["b"]) * x_mask
+
+
+def sdp_reverse(params, cfg: VITS2Config, x, x_mask, g=None, *, rng, noise_scale=1.0,
+                filter_channels=256, kernel_size=3):
+    """models.py:94-101 — sample log-durations. Returns logw (B, T, 1)."""
+    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size)
+    b, t, _ = x.shape
+    z = jax.random.normal(rng, (b, t, 2), dtype=x.dtype) * noise_scale
+    # flows list: [EA, CF1, CF2, CF3, CF4]; reference applies, in reverse:
+    # Flip, CF4, Flip, CF3, Flip, CF2, Flip, then EA (CF1 dropped, models.py:96)
+    for cf in params["flows"][:0:-1][:-1]:  # CF4, CF3, CF2
+        z = fl.flip_flow(z, reverse=True)
+        z = fl.convflow_apply(cf, z, x_mask, g=ctx, reverse=True,
+                              filter_channels=filter_channels, kernel_size=kernel_size)
+    z = fl.flip_flow(z, reverse=True)
+    z = fl.elementwise_affine_apply(params["flows"][0], z, x_mask, reverse=True)
+    return z[..., :1]
+
+
+def sdp_forward_nll(params, cfg: VITS2Config, x, x_mask, w, g=None, *, rng,
+                    filter_channels=256, kernel_size=3):
+    """models.py:56-93 — training NLL of observed durations w (B, T, 1)."""
+    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size)
+    b, t, _ = x.shape
+    r1, r2 = jax.random.split(rng)
+
+    h_w = conv1d(w, params["post_pre"]["w"], params["post_pre"]["b"])
+    h_w = wnops.ddsconv_apply(params["post_convs"], h_w, x_mask, kernel_size=kernel_size)
+    h_w = conv1d(h_w, params["post_proj"]["w"], params["post_proj"]["b"]) * x_mask
+
+    e_q = jax.random.normal(r1, (b, t, 2), dtype=x.dtype) * x_mask
+    z_q = e_q
+    logdet_tot_q = 0.0
+    gq = ctx + h_w
+    z_q, ld = fl.elementwise_affine_apply(params["post_flows"][0], z_q, x_mask)
+    logdet_tot_q += ld
+    for cf in params["post_flows"][1:]:
+        z_q, ld = fl.convflow_apply(cf, z_q, x_mask, g=gq,
+                                    filter_channels=filter_channels, kernel_size=kernel_size)
+        logdet_tot_q += ld
+        z_q, ld = fl.flip_flow(z_q)
+        logdet_tot_q += ld
+    z_u, z1 = z_q[..., :1], z_q[..., 1:]
+    u = jax.nn.sigmoid(z_u) * x_mask
+    z0 = (w - u) * x_mask
+    logdet_tot_q += jnp.sum((jax.nn.log_sigmoid(z_u) + jax.nn.log_sigmoid(-z_u)) * x_mask, axis=(1, 2))
+    logq = jnp.sum(-0.5 * (math.log(2 * math.pi) + e_q**2) * x_mask, axis=(1, 2)) - logdet_tot_q
+
+    logdet_tot = 0.0
+    z0, ld = fl.log_flow(z0, x_mask)
+    logdet_tot += ld
+    z = jnp.concatenate([z0, z1], axis=-1)
+    z, ld = fl.elementwise_affine_apply(params["flows"][0], z, x_mask)
+    logdet_tot += ld
+    for cf in params["flows"][1:]:
+        z, ld = fl.convflow_apply(cf, z, x_mask, g=ctx,
+                                  filter_channels=filter_channels, kernel_size=kernel_size)
+        logdet_tot += ld
+        z, ld = fl.flip_flow(z)
+        logdet_tot += ld
+    nll = jnp.sum(0.5 * (math.log(2 * math.pi) + z**2) * x_mask, axis=(1, 2)) - logdet_tot
+    return nll + logq
+
+
+def dp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int = 3):
+    keys = jax.random.split(key, 4)
+    p = {
+        "conv1": _conv_init(keys[0], kernel_size, cfg.hidden_channels, filter_channels),
+        "norm1": {"gamma": jnp.ones((filter_channels,)), "beta": jnp.zeros((filter_channels,))},
+        "conv2": _conv_init(keys[1], kernel_size, filter_channels, filter_channels),
+        "norm2": {"gamma": jnp.ones((filter_channels,)), "beta": jnp.zeros((filter_channels,))},
+        "proj": _conv_init(keys[2], 1, filter_channels, 1),
+    }
+    if cfg.gin_channels:
+        p["cond"] = _conv_init(keys[3], 1, cfg.gin_channels, cfg.hidden_channels)
+    return p
+
+
+def dp_apply(params, cfg: VITS2Config, x, x_mask, g=None, *, kernel_size=3):
+    """Deterministic duration predictor (models.py:104-138); relu->norm order."""
+    x = jax.lax.stop_gradient(x)
+    if g is not None:
+        x = x + conv1d(jax.lax.stop_gradient(g), params["cond"]["w"], params["cond"]["b"])
+    x = conv1d(x * x_mask, params["conv1"]["w"], params["conv1"]["b"], padding=kernel_size // 2)
+    x = jax.nn.relu(x)
+    x = layer_norm(x, params["norm1"]["gamma"], params["norm1"]["beta"])
+    x = conv1d(x * x_mask, params["conv2"]["w"], params["conv2"]["b"], padding=kernel_size // 2)
+    x = jax.nn.relu(x)
+    x = layer_norm(x, params["norm2"]["gamma"], params["norm2"]["beta"])
+    x = conv1d(x * x_mask, params["proj"]["w"], params["proj"]["b"])
+    return x * x_mask
+
+
+# ---------------------------------------------------------------------------
+# Posterior encoder (models.py:813-842)
+# ---------------------------------------------------------------------------
+
+
+def posterior_init(key, cfg: VITS2Config):
+    k1, k2, k3 = jax.random.split(key, 3)
+    h = cfg.hidden_channels
+    return {
+        "pre": _conv_init(k1, 1, cfg.spec_channels, h),
+        "enc": wnops.wn_init(k2, h, 5, 1, 16, cfg.gin_channels),
+        "proj": _conv_init(k3, 1, h, cfg.inter_channels * 2),
+    }
+
+
+def posterior_apply(params, cfg: VITS2Config, y, y_lengths, g=None, *, rng):
+    """y: (B, T, spec_channels) -> (z, m, logs, y_mask)."""
+    y_mask = sequence_mask(y_lengths, y.shape[1]).astype(y.dtype)[..., None]
+    x = conv1d(y, params["pre"]["w"], params["pre"]["b"]) * y_mask
+    x = wnops.wn_apply(params["enc"], x, y_mask, g, kernel_size=5, dilation_rate=1)
+    stats = conv1d(x, params["proj"]["w"], params["proj"]["b"]) * y_mask
+    m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
+    z = (m + jax.random.normal(rng, m.shape, m.dtype) * jnp.exp(logs)) * y_mask
+    return z, m, logs, y_mask
+
+
+# ---------------------------------------------------------------------------
+# Flow block (models.py:630-810)
+# ---------------------------------------------------------------------------
+
+
+def flow_block_init(key, cfg: VITS2Config, n_flows: int = 4):
+    c, h = cfg.inter_channels, cfg.hidden_channels
+    half = c // 2
+    ftype = cfg.transformer_flow_type if cfg.use_transformer_flows else "plain"
+    keys = jax.random.split(key, 3 * n_flows)
+    layers = []
+    for i in range(n_flows):
+        if ftype == "pre_conv":
+            layers.append({
+                "pre_transformer": att.encoder_init(keys[3 * i], half, half, 2, 2, 3, window_size=None),
+                "pre": _conv_init(keys[3 * i + 1], 1, half, h),
+                "enc": wnops.wn_init(keys[3 * i + 2], h, 5, 1, 4, cfg.gin_channels),
+                "post": {"w": jnp.zeros((1, h, half)), "b": jnp.zeros((half,))},
+            })
+        elif ftype == "pre_conv2":
+            layers.append({
+                "pre": _conv_init(keys[3 * i], 1, half, h),
+                # the flow block's kernel_size is hardcoded 5 in the reference
+                # (models.py:1621 flow=...(inter, hidden, 5, 1, 4)), inherited
+                # by Layer2's pre_transformer (models.py:352-359)
+                "pre_transformer": att.encoder_init(keys[3 * i + 1], h, h, 2, 1, 5),
+                "enc": wnops.wn_init(keys[3 * i + 2], h, 5, 1, 4, cfg.gin_channels),
+                "post": {"w": jnp.zeros((1, h, half)), "b": jnp.zeros((half,))},
+            })
+        elif ftype == "fft":
+            layers.append({
+                "pre": _conv_init(keys[3 * i], 1, half, h),
+                "enc": att.fft_init(keys[3 * i + 1], h, 768, 4, 1, 5, gin=cfg.gin_channels),
+                "post": {"w": jnp.zeros((1, h, half)), "b": jnp.zeros((half,))},
+            })
+        elif ftype in ("mono_layer_inter_residual", "mono_layer_post_residual"):
+            layers.append({
+                "coupling": fl.residual_coupling_init(keys[3 * i], c, h, 5, 1, 4, cfg.gin_channels, mean_only=True),
+                "mono": {
+                    "pre_transformer": att.encoder_init(keys[3 * i + 1], half, half, 2, 2, 3, window_size=None),
+                    "post": {"w": jnp.zeros((1, half, half)), "b": jnp.zeros((half,))},
+                },
+            })
+        else:  # plain
+            layers.append({
+                "coupling": fl.residual_coupling_init(keys[3 * i], c, h, 5, 1, 4, cfg.gin_channels, mean_only=True)
+            })
+    return {"flows": layers}
+
+
+def _affine_half(x, m, logs, x_mask, reverse):
+    half = x.shape[-1] // 2
+    x0, x1 = x[..., :half], x[..., half:]
+    if not reverse:
+        x1 = m + x1 * jnp.exp(logs) * x_mask
+    else:
+        x1 = (x1 - m) * jnp.exp(-logs) * x_mask
+    return jnp.concatenate([x0, x1], axis=-1)
+
+
+def _flow_layer_apply(layer, cfg: VITS2Config, ftype: str, x, x_mask, g, reverse):
+    half = cfg.inter_channels // 2
+    h = cfg.hidden_channels
+    if ftype == "pre_conv":
+        x0 = x[..., :half]
+        x0_ = att.encoder_apply(layer["pre_transformer"], x0 * x_mask, x_mask,
+                                n_heads=2, kernel_size=3, window_size=None)
+        x0_ = x0_ + x0
+        hid = conv1d(x0_, layer["pre"]["w"], layer["pre"]["b"]) * x_mask
+        hid = wnops.wn_apply(layer["enc"], hid, x_mask, g, kernel_size=5, dilation_rate=1)
+        m = conv1d(hid, layer["post"]["w"], layer["post"]["b"]) * x_mask
+        return _affine_half(x, m, jnp.zeros_like(m), x_mask, reverse)
+    if ftype == "pre_conv2":
+        x0 = x[..., :half]
+        hid = conv1d(x0, layer["pre"]["w"], layer["pre"]["b"]) * x_mask
+        hid = hid + att.encoder_apply(layer["pre_transformer"], hid * x_mask, x_mask,
+                                      n_heads=2, kernel_size=5, window_size=4)
+        hid = wnops.wn_apply(layer["enc"], hid, x_mask, g, kernel_size=5, dilation_rate=1)
+        m = conv1d(hid, layer["post"]["w"], layer["post"]["b"]) * x_mask
+        return _affine_half(x, m, jnp.zeros_like(m), x_mask, reverse)
+    if ftype == "fft":
+        x0 = x[..., :half]
+        hid = conv1d(x0, layer["pre"]["w"], layer["pre"]["b"]) * x_mask
+        h_ = att.fft_apply(layer["enc"], hid, x_mask, g, n_heads=4, kernel_size=5)
+        hid = h_ + hid
+        m = conv1d(hid, layer["post"]["w"], layer["post"]["b"]) * x_mask
+        return _affine_half(x, m, jnp.zeros_like(m), x_mask, reverse)
+    raise ValueError(ftype)
+
+
+def _mono_layer_apply(layer, cfg: VITS2Config, x, x_mask, reverse, residual: bool):
+    """MonoTransformerFlowLayer (models.py:545-627), mean_only=True."""
+    half = cfg.inter_channels // 2
+    if not residual:
+        x0 = x[..., :half]
+        x0_ = att.encoder_apply(layer["pre_transformer"], x0 * x_mask, x_mask,
+                                n_heads=2, kernel_size=3, window_size=None)
+        hid = x0_ + x0
+        m = conv1d(hid, layer["post"]["w"], layer["post"]["b"]) * x_mask
+        return _affine_half(x, m, jnp.zeros_like(m), x_mask, reverse)
+    # residual_connection=True variant
+    if not reverse:
+        x0, x1 = x[..., :half], x[..., half:]
+        x0_ = att.encoder_apply(layer["pre_transformer"], x0, x_mask,
+                                n_heads=2, kernel_size=3, window_size=None)
+        m = conv1d(x0_, layer["post"]["w"], layer["post"]["b"]) * x_mask
+        x1 = m + x1 * x_mask  # mean_only: exp(logs)=1
+        return x + jnp.concatenate([x0, x1], axis=-1)
+    x0, x1 = x[..., :half] / 2, x[..., half:]
+    x0_ = att.encoder_apply(layer["pre_transformer"], x0, x_mask,
+                            n_heads=2, kernel_size=3, window_size=None)
+    m = conv1d(x0_, layer["post"]["w"], layer["post"]["b"]) * x_mask
+    x1_ = ((x1 - m) / 2) * x_mask
+    return jnp.concatenate([x0, x1_], axis=-1)
+
+
+def flow_block_apply(params, cfg: VITS2Config, x, x_mask, g=None, reverse=False):
+    ftype = cfg.transformer_flow_type if cfg.use_transformer_flows else "plain"
+    layers = params["flows"]
+
+    def one(layer, x, reverse):
+        # each group is (coupling_layer, Flip[, mono_layer]); reverse iterates
+        # the group contents backwards too (models.py:755-759)
+        if ftype in ("plain", "pre_conv", "pre_conv2", "fft"):
+            if not reverse:
+                if ftype == "plain":
+                    x, _ = fl.residual_coupling_apply(layer["coupling"], x, x_mask, g,
+                                                      kernel_size=5, dilation_rate=1, mean_only=True)
+                else:
+                    x = _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, False)
+                x, _ = fl.flip_flow(x)
+                return x
+            x = fl.flip_flow(x, reverse=True)
+            if ftype == "plain":
+                return fl.residual_coupling_apply(layer["coupling"], x, x_mask, g, reverse=True,
+                                                  kernel_size=5, dilation_rate=1, mean_only=True)
+            return _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, True)
+        # mono variants: coupling, Flip, mono
+        residual = ftype == "mono_layer_post_residual"
+        if not reverse:
+            x, _ = fl.residual_coupling_apply(layer["coupling"], x, x_mask, g,
+                                              kernel_size=5, dilation_rate=1, mean_only=True)
+            x, _ = fl.flip_flow(x)
+            return _mono_layer_apply(layer["mono"], cfg, x, x_mask, False, residual)
+        x = _mono_layer_apply(layer["mono"], cfg, x, x_mask, True, residual)
+        x = fl.flip_flow(x, reverse=True)
+        return fl.residual_coupling_apply(layer["coupling"], x, x_mask, g, reverse=True,
+                                          kernel_size=5, dilation_rate=1, mean_only=True)
+
+    if not reverse:
+        for layer in layers:
+            x = one(layer, x, False)
+    else:
+        for layer in reversed(layers):
+            x = one(layer, x, True)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Generators (models.py:845-1169)
+# ---------------------------------------------------------------------------
+
+
+def _generator_trunk_init(key, cfg: VITS2Config, post_channels: int, post_bias: bool):
+    keys = jax.random.split(key, 6 + len(cfg.upsample_rates) + len(cfg.upsample_rates) * len(cfg.resblock_kernel_sizes))
+    ki = iter(range(len(keys)))
+    uic = cfg.upsample_initial_channel
+    p = {"conv_pre": _conv_init(keys[next(ki)], 7, cfg.inter_channels, uic)}
+    p["ups"] = []
+    ch = uic
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        cin, cout = uic // (2**i), uic // (2 ** (i + 1))
+        w = jax.random.normal(keys[next(ki)], (k, cin, cout)) * 0.01
+        p["ups"].append({"w": w, "b": jnp.zeros((cout,))})
+        ch = cout
+    resblock_init = wnops.resblock1_init if cfg.resblock == "1" else wnops.resblock2_init
+    p["resblocks"] = []
+    for i in range(len(cfg.upsample_rates)):
+        c = uic // (2 ** (i + 1))
+        for k, d in zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes):
+            p["resblocks"].append(resblock_init(keys[next(ki)], c, k, tuple(d)))
+    post = _conv_init(keys[next(ki)], 7, ch, post_channels)
+    if not post_bias:
+        post["b"] = None
+    p["conv_post"] = post
+    if cfg.gin_channels and cfg.decoder_type == "hifigan":
+        p["cond"] = _conv_init(keys[next(ki)], 1, cfg.gin_channels, uic)
+    return p
+
+
+def generator_init(key, cfg: VITS2Config):
+    n_fft = cfg.gen_istft_n_fft
+    if cfg.decoder_type == "hifigan":
+        return _generator_trunk_init(key, cfg, 1, post_bias=False)
+    if cfg.decoder_type == "istft":
+        return _generator_trunk_init(key, cfg, n_fft + 2, post_bias=False)
+    if cfg.decoder_type == "mb_istft":
+        return _generator_trunk_init(key, cfg, cfg.subbands * (n_fft + 2), post_bias=False)
+    if cfg.decoder_type == "ms_istft":
+        p = _generator_trunk_init(key, cfg, cfg.subbands * (n_fft + 2), post_bias=True)
+        k2 = jax.random.fold_in(key, 17)
+        p["multistream_conv_post"] = {
+            "w": jax.random.normal(k2, (63, cfg.subbands, 1)) * 0.01,
+            "b": None,
+        }
+        return p
+    raise ValueError(cfg.decoder_type)
+
+
+def _generator_trunk(params, cfg: VITS2Config, x, g=None):
+    x = conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
+    if g is not None and "cond" in params:
+        x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    resblock_apply = wnops.resblock1_apply if cfg.resblock == "1" else wnops.resblock2_apply
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x)
+        x = conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"], stride=u, padding=(k - u) // 2)
+        xs = None
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+            r = resblock_apply(params["resblocks"][i * n_kernels + j], x, None, kernel_size=rk, dilation=tuple(rd))
+            xs = r if xs is None else xs + r
+        x = xs / n_kernels
+    # final activation uses torch's default slope 0.01, not LRELU_SLOPE
+    # (models.py:1052 `F.leaky_relu(x)` with no slope argument)
+    return jnp.where(x >= 0, x, 0.01 * x)
+
+
+def _spec_phase(x, n_fft):
+    spec = jnp.exp(x[..., : n_fft // 2 + 1])
+    phase = math.pi * jnp.sin(x[..., n_fft // 2 + 1 :])
+    return spec, phase
+
+
+def generator_apply(params, cfg: VITS2Config, x, g=None):
+    """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None)."""
+    n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
+    inverse = istft if cfg.istft_mode == "torch" else istft_onnx
+
+    if cfg.decoder_type == "hifigan":
+        x = _generator_trunk(params, cfg, x, g)
+        x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
+        return jnp.tanh(x), None
+
+    x = _generator_trunk(params, cfg, x, g)
+    x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")  # ReflectionPad1d((1,0))
+    x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
+
+    if cfg.decoder_type == "istft":
+        spec, phase = _spec_phase(x, n_fft)
+        return inverse(spec, phase, n_fft, hop, n_fft)[..., None], None
+
+    b, t, _ = x.shape
+    sub = cfg.subbands
+    x = x.reshape(b, t, sub, n_fft + 2)
+    spec, phase = _spec_phase(x, n_fft)
+    # fold subbands into batch for one iSTFT matmul
+    spec = spec.transpose(0, 2, 1, 3).reshape(b * sub, t, n_fft // 2 + 1)
+    phase = phase.transpose(0, 2, 1, 3).reshape(b * sub, t, n_fft // 2 + 1)
+    y_mb = inverse(spec, phase, n_fft, hop, n_fft)  # (B*sub, samples)
+    y_mb = y_mb.reshape(b, sub, -1).transpose(0, 2, 1)  # (B, samples, sub)
+
+    if cfg.decoder_type == "mb_istft":
+        return pqmf_synthesis(y_mb, subbands=sub), y_mb
+
+    # ms_istft: zero-stuffed upsample ×sub then learned synthesis filter k=63
+    up_w = np.zeros((sub, sub, sub), dtype=np.float32)
+    up_w[0] = np.eye(sub, dtype=np.float32) * sub
+    y_up = conv_transpose1d(y_mb, jnp.asarray(up_w), stride=sub, padding=0)
+    y = conv1d(y_up, params["multistream_conv_post"]["w"], None, padding=31)
+    return y, y_mb
+
+
+# ---------------------------------------------------------------------------
+# Full synthesizer
+# ---------------------------------------------------------------------------
+
+
+def synthesizer_init(key, cfg: VITS2Config):
+    keys = jax.random.split(key, 6)
+    p = {
+        "enc_p": text_encoder_init(keys[0], cfg),
+        "dec": generator_init(keys[1], cfg),
+        "enc_q": posterior_init(keys[2], cfg),
+        "flow": flow_block_init(keys[3], cfg),
+        "dp": sdp_init(keys[4], cfg) if cfg.use_sdp else dp_init(keys[4], cfg),
+    }
+    if cfg.n_speakers > 1:
+        p["emb_g"] = jax.random.normal(keys[5], (cfg.n_speakers, cfg.gin_channels))
+    return p
+
+
+def infer(
+    params,
+    cfg: VITS2Config,
+    x_ids: jax.Array,
+    x_lengths: jax.Array,
+    sid: jax.Array | None = None,
+    *,
+    rng: jax.Array,
+    max_frames: int,
+    noise_scale: float = 0.667,
+    length_scale: float = 1.0,
+    noise_scale_w: float = 0.8,
+):
+    """Static-shape inference (models.py:1679-1704).
+
+    Returns dict with 'wav' (B, max_frames*upsample, 1), 'wav_lengths' (B,)
+    true sample counts, 'attn', 'y_mask', 'durations'.
+    """
+    r_dur, r_noise = jax.random.split(rng)
+    g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
+
+    x, m_p, logs_p, x_mask = text_encoder_apply(
+        params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None
+    )
+    if cfg.use_sdp:
+        logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dur, noise_scale=noise_scale_w)
+    else:
+        logw = dp_apply(params["dp"], cfg, x, x_mask, g)
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[..., 0]  # (B, T)
+    # cap durations so total frames fit the static bucket; keeps jit shapes fixed
+    y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, max_frames).astype(jnp.int32)
+    y_mask = sequence_mask(y_lengths, max_frames).astype(x_mask.dtype)[..., None]
+
+    attn = generate_path(w_ceil, x_mask[..., 0], y_mask[..., 0])  # (B, Ty, Tx)
+
+    m_p = jnp.einsum("byt,btc->byc", attn, m_p)
+    logs_p = jnp.einsum("byt,btc->byc", attn, logs_p)
+
+    z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
+    z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
+
+    up = cfg.upsample_factor
+    return {
+        "wav": wav,
+        "wav_mb": wav_mb,
+        "wav_lengths": y_lengths * up,
+        "attn": attn,
+        "y_mask": y_mask,
+        "durations": w_ceil,
+    }
+
+
+def forward_train(
+    params,
+    cfg: VITS2Config,
+    x_ids: jax.Array,
+    x_lengths: jax.Array,
+    y: jax.Array,
+    y_lengths: jax.Array,
+    sid: jax.Array | None = None,
+    *,
+    rng: jax.Array,
+    mas_noise_scale: float | jax.Array = 0.0,
+):
+    """Training forward (models.py:1632-1677), fully on-device (incl. MAS).
+
+    y: (B, T_spec, spec_channels). Returns the same tuple contents as the
+    reference, as a dict.
+    """
+    r_post, r_mas, r_dp, r_slice = jax.random.split(rng, 4)
+    g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
+
+    x, m_p, logs_p, x_mask = text_encoder_apply(
+        params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None
+    )
+    z, m_q, logs_q, y_mask = posterior_apply(params["enc_q"], cfg, y, y_lengths, g, rng=r_post)
+    z_p = flow_block_apply(params["flow"], cfg, z, y_mask, g)
+
+    # --- MAS (no grad) ---
+    def neg_cent_fn(z_p, m_p, logs_p):
+        s_p_sq_r = jnp.exp(-2 * logs_p)  # (B, Tx, C)
+        nc1 = jnp.sum(-0.5 * math.log(2 * math.pi) - logs_p, axis=-1)  # (B, Tx)
+        nc2 = jnp.einsum("byc,btc->byt", -0.5 * z_p**2, s_p_sq_r)
+        nc3 = jnp.einsum("byc,btc->byt", z_p, m_p * s_p_sq_r)
+        nc4 = jnp.sum(-0.5 * m_p**2 * s_p_sq_r, axis=-1)  # (B, Tx)
+        return nc1[:, None, :] + nc2 + nc3 + nc4[:, None, :]  # (B, Ty, Tx)
+
+    neg_cent = neg_cent_fn(
+        jax.lax.stop_gradient(z_p), jax.lax.stop_gradient(m_p), jax.lax.stop_gradient(logs_p)
+    )
+    if cfg.use_noise_scaled_mas:
+        eps = jnp.std(neg_cent) * jax.random.normal(r_mas, neg_cent.shape) * mas_noise_scale
+        neg_cent = neg_cent + eps
+    attn_mask = y_mask[..., 0][:, :, None] * x_mask[..., 0][:, None, :]  # (B, Ty, Tx)
+    attn = jax.lax.stop_gradient(maximum_path(neg_cent, attn_mask))
+
+    w = jnp.sum(attn, axis=1)[..., None]  # (B, Tx, 1)
+    if cfg.use_sdp:
+        r_dp1, r_dp2 = jax.random.split(r_dp)
+        l_length = sdp_forward_nll(params["dp"], cfg, x, x_mask, w, g, rng=r_dp1)
+        l_length = l_length / jnp.sum(x_mask)
+        logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dp2, noise_scale=1.0)
+        logw_ = jnp.log(w + 1e-6) * x_mask
+    else:
+        logw_ = jnp.log(w + 1e-6) * x_mask
+        logw = dp_apply(params["dp"], cfg, x, x_mask, g)
+        l_length = jnp.sum((logw - logw_) ** 2, axis=(1, 2)) / jnp.sum(x_mask)
+
+    m_p = jnp.einsum("byt,btc->byc", attn, m_p)
+    logs_p = jnp.einsum("byt,btc->byc", attn, logs_p)
+
+    z_slice, ids_slice = rand_slice_segments(z, y_lengths, cfg.segment_size, r_slice)
+    o, o_mb = generator_apply(params["dec"], cfg, z_slice, g)
+    return {
+        "wav": o,
+        "wav_mb": o_mb,
+        "l_length": l_length,
+        "attn": attn,
+        "ids_slice": ids_slice,
+        "x_mask": x_mask,
+        "y_mask": y_mask,
+        "z": z,
+        "z_p": z_p,
+        "m_p": m_p,
+        "logs_p": logs_p,
+        "m_q": m_q,
+        "logs_q": logs_q,
+        "logw": logw,
+        "logw_": logw_,
+    }
+
+
+def voice_conversion(params, cfg: VITS2Config, y, y_lengths, sid_src, sid_tgt, *, rng):
+    """models.py:1710-1718 — flow re-conditioning between speakers."""
+    g_src = params["emb_g"][sid_src][:, None, :]
+    g_tgt = params["emb_g"][sid_tgt][:, None, :]
+    z, m_q, logs_q, y_mask = posterior_apply(params["enc_q"], cfg, y, y_lengths, g_src, rng=rng)
+    z_p = flow_block_apply(params["flow"], cfg, z, y_mask, g_src)
+    z_hat = flow_block_apply(params["flow"], cfg, z_p, y_mask, g_tgt, reverse=True)
+    o, o_mb = generator_apply(params["dec"], cfg, z_hat * y_mask, g_tgt)
+    return o, y_mask
