@@ -56,6 +56,9 @@ def vits2(*names):
 def vosk_tts(*names):
     """Import the inference package modules (pure python, e.g. g2p)."""
     sys.path.insert(0, _REF)
+    if _SHIM in sys.path:
+        sys.path.remove(_SHIM)
+    sys.path.insert(0, _SHIM)  # onnxruntime stub for vosk_tts.synth import
     import importlib
 
     try:
