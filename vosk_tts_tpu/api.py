@@ -1,0 +1,196 @@
+"""Public API: ``Model`` + ``Synth`` — mirrors the reference ``vosk_tts``
+surface (vosk_tts/model.py:33, vosk_tts/synth.py:47,142) on the TPU-native
+stack.
+
+A model bundle directory contains:
+  config.json     — reference-style config: "model_type", "phoneme_id_map",
+                    "inference" defaults, plus a "model" block (architecture)
+                    and "sample_rate"
+  params.npz      — parameter pytree (utils/checkpoint.py format)
+  dictionary      — pronunciation dictionary (word prob phones...)
+
+XLA discipline: text lengths are padded to buckets and the output frame
+capacity is a fixed multiple of the bucket, so every (bucket) pair compiles
+exactly once and is cached for the life of the process.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import time
+import wave
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import vits2
+from .text import g2p_plain, g2p_noembed, g2p_multistream, load_dictionary
+from .utils.checkpoint import load_params
+
+MODEL_DIRS = [
+    os.getenv("VOSK_TPU_MODEL_PATH"),
+    os.getenv("VOSK_MODEL_PATH"),
+    "/usr/share/vosk",
+    str(Path.home() / ".cache/vosk-tpu"),
+    str(Path.home() / ".cache/vosk"),
+]
+
+#: text-length buckets (tokens incl. blanks); per-bucket jit cache
+TEXT_BUCKETS = (32, 64, 128, 256, 384, 512, 768, 1024)
+#: output frame capacity per text token (generous; durations are clipped)
+FRAMES_PER_TOKEN = 16
+
+
+def list_models():
+    """Lists locally installed bundles (no network in this environment)."""
+    for d in MODEL_DIRS:
+        if d and Path(d).is_dir():
+            for name in sorted(os.listdir(d)):
+                if (Path(d) / name / "config.json").exists():
+                    print(name)
+
+
+def list_languages():
+    print("ru")
+
+
+class Model:
+    def __init__(self, model_path=None, model_name=None, lang=None):
+        if model_path is None:
+            model_path = self._find(model_name, lang)
+        model_path = Path(model_path)
+        logging.info("Loading model from %s", model_path)
+
+        self.path = model_path
+        self.config = json.load(open(model_path / "config.json"))
+        self.dic = load_dictionary(model_path / "dictionary") if (model_path / "dictionary").exists() else {}
+        self.params = load_params(model_path / "params.npz")
+        self.model_config = vits2.VITS2Config(**self.config["model"]) if "model" in self.config else vits2.VITS2Config()
+        self.sample_rate = self.config.get("sample_rate", 22050)
+
+        # BERT front (multistream_v2/v3) — converted ruBERT, optional
+        self.tokenizer = None
+        self.bert = None
+        bert_dir = model_path / "bert"
+        if (bert_dir / "vocab.txt").exists() and (bert_dir / "params.npz").exists():
+            from .models import bert as bert_mod
+
+            self.tokenizer = bert_mod.WordPieceTokenizer(bert_dir / "vocab.txt")
+            self.bert = bert_mod.BertEncoder(load_params(bert_dir / "params.npz"), json.load(open(bert_dir / "config.json")))
+
+    @staticmethod
+    def _find(model_name, lang):
+        for d in MODEL_DIRS:
+            if d is None or not Path(d).is_dir():
+                continue
+            for name in os.listdir(d):
+                if model_name is not None and name == model_name:
+                    return Path(d) / name
+                if model_name is None and lang and re.match(rf"vosk-model(-small)?(-tts)?-{lang}", name):
+                    return Path(d) / name
+        raise FileNotFoundError(
+            f"no local model for name={model_name!r} lang={lang!r}; searched {[d for d in MODEL_DIRS if d]} "
+            "(network model download is not available in this environment)"
+        )
+
+
+def audio_float_to_int16(audio: np.ndarray, max_wav_value: float = 32767.0) -> np.ndarray:
+    return np.clip(audio * max_wav_value, -max_wav_value, max_wav_value).astype("int16")
+
+
+class Synth:
+    def __init__(self, model: Model):
+        self.model = model
+        self._infer_cache = {}
+        self._rng = jax.random.PRNGKey(int(self.model.config.get("seed", 0)))
+
+    # ------------------------------------------------------------------
+    def _jit_infer(self, text_bucket: int, max_frames: int):
+        key = (text_bucket, max_frames)
+        if key not in self._infer_cache:
+            cfg = self.model.model_config
+
+            @partial(jax.jit, static_argnames=())
+            def run(params, x, x_lengths, sid, rng, noise_scale, length_scale, noise_scale_w):
+                return vits2.infer(
+                    params, cfg, x, x_lengths, sid, rng=rng, max_frames=max_frames,
+                    noise_scale=noise_scale, length_scale=length_scale, noise_scale_w=noise_scale_w,
+                )
+
+            self._infer_cache[key] = run
+        return self._infer_cache[key]
+
+    def _encode(self, text: str):
+        """Text -> phoneme id sequence for the model's input format."""
+        cfg = self.model.config
+        id_map = cfg["phoneme_id_map"]
+        model_type = cfg.get("model_type", "vits2")
+        if model_type in ("multistream_v1", "multistream_v2", "multistream_v3"):
+            raise NotImplementedError(
+                "multistream (StableTTS) bundles are not wired into Synth yet; use model_type 'vits2'"
+            )
+        flat_map = {k: (v[0] if isinstance(v, list) else v) for k, v in id_map.items()}
+        if cfg.get("no_blank", 0):
+            ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=False)
+        else:
+            ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=True)
+        return ids
+
+    # ------------------------------------------------------------------
+    def synth_audio(self, text, speaker_id=0, noise_level=None, speech_rate=None,
+                    duration_noise_level=None, scale=None):
+        inference = self.model.config.get("inference", {})
+        if noise_level is None:
+            noise_level = inference.get("noise_level", 0.8)
+        if speech_rate is None:
+            speech_rate = inference.get("speech_rate", 1.0)
+        if duration_noise_level is None:
+            duration_noise_level = inference.get("duration_noise_level", 0.8)
+        if scale is None:
+            scale = inference.get("scale", 1.0)
+
+        text = re.sub("—", "-", text.strip())
+        ids = self._encode(text)
+
+        bucket = next((b for b in TEXT_BUCKETS if b >= len(ids)), TEXT_BUCKETS[-1])
+        if len(ids) > bucket:
+            logging.warning("text too long (%d tokens), truncating to %d", len(ids), bucket)
+            ids = ids[:bucket]
+        x = np.zeros((1, bucket), np.int32)
+        x[0, : len(ids)] = ids
+        x_lengths = np.array([len(ids)], np.int32)
+        sid = np.array([speaker_id or 0], np.int32)
+        max_frames = bucket * FRAMES_PER_TOKEN
+
+        run = self._jit_infer(bucket, max_frames)
+        self._rng, rng = jax.random.split(self._rng)
+
+        start = time.perf_counter()
+        out = run(
+            self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid), rng,
+            jnp.float32(noise_level), jnp.float32(1.0 / speech_rate), jnp.float32(duration_noise_level),
+        )
+        wav = np.asarray(out["wav"])[0, : int(out["wav_lengths"][0]), 0]
+        audio = audio_float_to_int16(wav * scale)
+        elapsed = time.perf_counter() - start
+
+        dur = len(audio) / self.model.sample_rate
+        rtf = elapsed / dur if dur > 0 else 0.0
+        logging.info("Real-time factor: %0.3f (infer=%0.3f sec, audio=%0.2f sec)", rtf, elapsed, dur)
+        return audio
+
+    def synth(self, text, oname, speaker_id=0, noise_level=None, speech_rate=None,
+              duration_noise_level=None, scale=None):
+        audio = self.synth_audio(text, speaker_id, noise_level, speech_rate, duration_noise_level, scale)
+        with wave.open(str(oname), "w") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(self.model.sample_rate)
+            f.writeframes(audio.tobytes())
