@@ -1,0 +1,48 @@
+"""Device mesh + sharding helpers.
+
+The reference's parallelism is single-node DDP over NCCL
+(training/vits2/train_ms.py:52-77). TPU-native, there is no backend code at
+all: we build a ``jax.sharding.Mesh`` and annotate shardings; XLA inserts the
+collectives (psum over ICI for gradients). Multi-host works through
+``jax.distributed.initialize()`` + the same mesh.
+
+Axes:
+  data  — batch sharding (gradient all-reduce happens over this axis)
+  model — reserved for tensor-parallel sharding of the widest vocoder convs
+          (upsample_initial_channel) when HBM requires; 1 by default
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Places every array in the batch dict with its leading axis on 'data'."""
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def replicate_params(mesh: Mesh, params):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), params)

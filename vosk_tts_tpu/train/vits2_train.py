@@ -1,0 +1,229 @@
+"""VITS2 GAN training step — one fused pjit step, everything on device.
+
+Mirrors training/vits2/train_ms.py:330-451 (update order D -> durD -> G, same
+loss terms) with the TPU-native differences:
+
+  * the whole step (G forward incl. MAS, both D updates, G update) is ONE
+    jitted function — no host sync anywhere in the loop;
+  * the G forward runs once: its VJP is captured (``jax.vjp``) and reused for
+    the generator update, so the G update differentiates through the *updated*
+    discriminators exactly like the reference, without recomputing the
+    forward;
+  * data parallelism is a mesh axis: batch arrays are sharded over 'data',
+    params replicated; XLA inserts the gradient all-reduce (the reference's
+    DDP/NCCL, train_ms.py:74-77).
+
+The WavLM/SLM branch (train_ms.py:397-406,441-444) requires a frozen WavLM
+encoder; it is gated off by default (``use_slm=False``) until the JAX WavLM
+port lands — the WavLMDiscriminator itself is implemented
+(models/discriminators.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import vits2
+from ..models import discriminators as D
+from ..ops.commons import slice_segments
+from ..ops.pqmf import pqmf_analysis
+from ..ops.stft import mel_spectrogram
+from . import losses as L
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 2e-4
+    betas: Sequence[float] = (0.8, 0.99)
+    eps: float = 1e-9
+    lr_decay: float = 0.999875  # per epoch (ExponentialLR)
+    c_mel: float = 45.0
+    c_kl: float = 1.0
+    # mel/stft params (configs/mb_istft_vits2_multi.json data block)
+    sampling_rate: int = 22050
+    filter_length: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mel_channels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float | None = None
+    # subband stft loss resolutions (train block :18-21)
+    fft_sizes: Sequence[int] = (384, 683, 171)
+    hop_sizes: Sequence[int] = (30, 60, 10)
+    win_lengths: Sequence[int] = (150, 300, 60)
+    use_dur_disc: bool = True
+    use_slm: bool = False
+
+
+def make_optimizer(tcfg: TrainConfig):
+    """AdamW as the reference (train_ms.py:207-235); lr injected so the
+    per-epoch exponential decay is a host-side scalar update."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=tcfg.learning_rate, b1=tcfg.betas[0], b2=tcfg.betas[1],
+        eps=tcfg.eps, weight_decay=0.01,
+    )
+
+
+def init_train_state(key, mcfg: vits2.VITS2Config, tcfg: TrainConfig):
+    kg, kd, kdur = jax.random.split(key, 3)
+    params_g = vits2.synthesizer_init(kg, mcfg)
+    params_d = D.mpmsd_init(kd)
+    params_dur = (
+        D.duration_disc_init(kdur, mcfg.hidden_channels, mcfg.hidden_channels, 3, variant=2)
+        if tcfg.use_dur_disc
+        else None
+    )
+    opt = make_optimizer(tcfg)
+    state = {
+        "step": jnp.zeros((), jnp.int32),
+        "params_g": params_g,
+        "params_d": params_d,
+        "opt_g": opt.init(params_g),
+        "opt_d": opt.init(params_d),
+    }
+    if params_dur is not None:
+        state["params_dur"] = params_dur
+        state["opt_dur"] = opt.init(params_dur)
+    return state
+
+
+def lr_at_epoch(tcfg: TrainConfig, epoch: int) -> float:
+    return tcfg.learning_rate * (tcfg.lr_decay**epoch)
+
+
+def set_lr(state, lr):
+    """Update the injected learning rate in every optimizer state."""
+    out = dict(state)
+    for k in ("opt_g", "opt_d", "opt_dur"):
+        if k in state:
+            s = state[k]
+            s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            out[k] = s
+    return out
+
+
+def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_scale: float = 0.0):
+    """Returns jit-able ``step(state, batch, rng) -> (state, metrics)``.
+
+    batch: x (B,Tx) int32, x_lengths (B,), mel (B,Tf,n_mel), mel_lengths (B,),
+    wav (B,Ts), sid (B,). ``use_mel_posterior_encoder`` semantics: the
+    posterior consumes the mel directly (train_ms.py:81-88,351-356).
+    """
+    opt = make_optimizer(tcfg)
+    seg_frames = mcfg.segment_size
+    seg_samples = seg_frames * tcfg.hop_length
+
+    def mel_of(wav):
+        return mel_spectrogram(
+            wav, tcfg.filter_length, tcfg.n_mel_channels, tcfg.sampling_rate,
+            tcfg.hop_length, tcfg.win_length, tcfg.mel_fmin, tcfg.mel_fmax,
+        )
+
+    def step(state, batch, rng):
+        x, x_lengths = batch["x"], batch["x_lengths"]
+        mel, mel_lengths = batch["mel"], batch["mel_lengths"]
+        wav, sid = batch["wav"], batch["sid"]
+
+        # ---- G forward once, VJP captured -------------------------------
+        def fwd(params_g):
+            out = vits2.forward_train(
+                params_g, mcfg, x, x_lengths, mel, mel_lengths, sid,
+                rng=rng, mas_noise_scale=mas_noise_scale,
+            )
+            ids = out.pop("ids_slice")
+            attn = out.pop("attn")
+            return out, (ids, attn)
+
+        out, vjp_fn, (ids_slice, _) = jax.vjp(fwd, state["params_g"], has_aux=True)
+
+        y_hat = out["wav"][..., 0]  # (B, seg_samples)
+        y_real = slice_segments(wav[..., None], ids_slice * tcfg.hop_length, seg_samples)[..., 0]
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+        y_hat_mel = mel_of(y_hat)
+
+        metrics = {}
+
+        # ---- Discriminator update (train_ms.py:377-412) ------------------
+        def d_loss_fn(params_d):
+            yr, yg, _, _ = D.mpmsd_apply(params_d, y_real, jax.lax.stop_gradient(y_hat))
+            loss_disc, _, _ = L.discriminator_loss(yr, yg)
+            loss_tprls = L.discriminator_tprls_loss(yr, yg)
+            return loss_disc + loss_tprls
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state["params_d"])
+        d_updates, opt_d = opt.update(d_grads, state["opt_d"], state["params_d"])
+        params_d = optax.apply_updates(state["params_d"], d_updates)
+        metrics["loss_disc"] = d_loss
+
+        # ---- Duration discriminator update (train_ms.py:384-395) --------
+        params_dur, opt_dur = state.get("params_dur"), state.get("opt_dur")
+        if params_dur is not None:
+            hx = jax.lax.stop_gradient(out["x"])
+            xm = jax.lax.stop_gradient(out["x_mask"])
+            logw_r = jax.lax.stop_gradient(out["logw_"])
+            logw_g = jax.lax.stop_gradient(out["logw"])
+
+            def dur_loss_fn(p):
+                pr, pg = D.duration_disc_apply(p, hx, xm, logw_r, logw_g)
+                loss, _, _ = L.discriminator_loss([pr], [pg])
+                return loss
+
+            dur_loss, dur_grads = jax.value_and_grad(dur_loss_fn)(params_dur)
+            dur_updates, opt_dur = opt.update(dur_grads, opt_dur, params_dur)
+            params_dur = optax.apply_updates(params_dur, dur_updates)
+            metrics["loss_dur_disc"] = dur_loss
+
+        # ---- Generator update (train_ms.py:414-451), via captured VJP ----
+        def g_loss_fn(o):
+            yh = o["wav"][..., 0]
+            yh_mel = mel_of(yh)
+            yr_, yg_, fmap_r, fmap_g = D.mpmsd_apply(params_d, y_real, yh)
+            loss_gen, _ = L.generator_loss(yg_)
+            loss_gen_tprls = L.generator_tprls_loss(yr_, yg_)
+            loss_fm = L.feature_loss(fmap_r, fmap_g)
+            loss_mel = jnp.mean(jnp.abs(y_mel - yh_mel)) * tcfg.c_mel
+            loss_dur = jnp.sum(o["l_length"])
+            loss_kl = L.kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"], o["y_mask"]) * tcfg.c_kl
+            if mcfg.decoder_type == "mb_istft":
+                y_mb = pqmf_analysis(y_real[..., None], subbands=mcfg.subbands)
+                loss_subband = L.subband_stft_loss(
+                    y_mb, o["wav_mb"], tcfg.fft_sizes, tcfg.hop_sizes, tcfg.win_lengths
+                )
+            else:
+                loss_subband = 0.0
+            total = loss_gen + loss_gen_tprls + loss_fm + loss_mel + loss_dur + loss_kl + loss_subband
+            if params_dur is not None:
+                pr, pg = D.duration_disc_apply(params_dur, o["x"], out["x_mask"], o["logw_"], o["logw"])
+                loss_dur_gen, _ = L.generator_loss([pg])
+                total = total + loss_dur_gen
+            return total, {
+                "loss_gen": loss_gen, "loss_fm": loss_fm, "loss_mel": loss_mel,
+                "loss_dur": loss_dur, "loss_kl": loss_kl, "loss_subband": loss_subband,
+            }
+
+        (g_loss, g_metrics), out_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(out)
+        (g_grads,) = vjp_fn(out_grads)
+        g_updates, opt_g = opt.update(g_grads, state["opt_g"], state["params_g"])
+        params_g = optax.apply_updates(state["params_g"], g_updates)
+        metrics["loss_gen_all"] = g_loss
+        metrics.update(g_metrics)
+
+        new_state = {
+            "step": state["step"] + 1,
+            "params_g": params_g,
+            "params_d": params_d,
+            "opt_g": opt_g,
+            "opt_d": opt_d,
+        }
+        if params_dur is not None:
+            new_state["params_dur"] = params_dur
+            new_state["opt_dur"] = opt_dur
+        return new_state, metrics
+
+    return step
