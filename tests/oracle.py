@@ -53,6 +53,51 @@ def vits2(*names):
     return _load("vits2", "training/vits2", names)
 
 
+def stabletts(*names):
+    """Import matcha component modules (e.g. 'diffusion_transformer',
+    'text_encoder', 'decoder', 'flow_matching', 'duration_predictors') with a
+    synthetic ``matcha`` package: real component/model files, stubbed
+    lightning/hydra-dependent utils."""
+    import importlib
+    import importlib.util
+    import types
+
+    base = os.path.join(_REF, "training/stabletts")
+    if "matcha" not in sys.modules:
+        if _SHIM in sys.path:
+            sys.path.remove(_SHIM)
+        sys.path.insert(0, _SHIM)  # torchdiffeq stub
+
+        matcha = types.ModuleType("matcha")
+        matcha.__path__ = [os.path.join(base, "matcha")]
+        sys.modules["matcha"] = matcha
+
+        # stub matcha.utils (the real one imports lightning/hydra/rich)
+        utils = types.ModuleType("matcha.utils")
+        utils.__path__ = [os.path.join(base, "matcha/utils")]
+        utils.get_pylogger = lambda name=None: __import__("logging").getLogger(name or "matcha")
+        sys.modules["matcha.utils"] = utils
+        pylogger = types.ModuleType("matcha.utils.pylogger")
+        pylogger.get_pylogger = utils.get_pylogger
+        sys.modules["matcha.utils.pylogger"] = pylogger
+        # real matcha.utils.model (pure torch)
+        spec = importlib.util.spec_from_file_location(
+            "matcha.utils.model", os.path.join(base, "matcha/utils/model.py")
+        )
+        model_mod = importlib.util.module_from_spec(spec)
+        sys.modules["matcha.utils.model"] = model_mod
+        spec.loader.exec_module(model_mod)
+        utils.model = model_mod
+
+        for pkg in ("matcha.models", "matcha.models.components"):
+            m = types.ModuleType(pkg)
+            m.__path__ = [os.path.join(base, pkg.replace(".", "/"))]
+            sys.modules[pkg] = m
+
+    mods = tuple(importlib.import_module(f"matcha.models.components.{n}") for n in names)
+    return mods if len(names) > 1 else mods[0]
+
+
 def vosk_tts(*names):
     """Import the inference package modules (pure python, e.g. g2p)."""
     sys.path.insert(0, _REF)

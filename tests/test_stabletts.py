@@ -1,0 +1,235 @@
+"""Golden tests: StableTTS/Matcha components vs reference torch modules."""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import oracle
+import convert_helpers as ch
+
+from vosk_tts_tpu.models import stabletts as S
+
+dt_mod = oracle.stabletts("diffusion_transformer")
+dec_mod = oracle.stabletts("decoder")
+fm_mod = oracle.stabletts("flow_matching")
+te_mod = oracle.stabletts("text_encoder")
+dp_mod = oracle.stabletts("duration_predictors")
+
+TOL = dict(rtol=2e-3, atol=2e-3)
+
+
+def small_cfg(**kw):
+    d = dict(
+        n_vocab=30, n_feats=8, n_spks=4, spk_emb_dim=16,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=2,
+        kernel_size=3, p_dropout=0.0, phone_emb_dim=12, punc_emb_dim=4,
+        bert_dim=24, bert_proj_dim=4, dp_out_channels=50,
+        dec_hidden=32, dec_filter=64, dec_layers=2, dec_heads=2, dec_kernel=3,
+    )
+    d.update(kw)
+    return S.StableTTSConfig(**d)
+
+
+def _mask(rng, b, t):
+    lengths = rng.integers(max(2, t // 2), t + 1, size=b)
+    return (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32), lengths
+
+
+def dit_mha_p(m):
+    return {"q": ch.conv_p(m.conv_q), "k": ch.conv_p(m.conv_k), "v": ch.conv_p(m.conv_v), "o": ch.conv_p(m.conv_o)}
+
+
+def dit_block_p(m):
+    p = {
+        "attn": dit_mha_p(m.attn),
+        "mlp": {"c1": ch.conv_p(m.mlp.conv_1), "c2": ch.conv_p(m.mlp.conv_2)},
+    }
+    seq = list(m.adaLN_modulation)
+    if isinstance(seq[0], torch.nn.Linear):
+        p["ada_in"] = ch.linear_p(seq[0])
+    p["ada_out"] = ch.linear_p(seq[-1])
+    return p
+
+
+def dit_encoder_p(m):
+    return {"blocks": [dit_block_p(b) for b in m.encoder], "proj": ch.conv_p(m.proj)}
+
+
+def decoder_p(m):
+    p = {
+        "time_mlp": {"l1": ch.linear_p(m.time_mlp.layer[0]), "l2": ch.linear_p(m.time_mlp.layer[2])},
+        "in_proj": ch.conv_p(m.in_proj),
+        "cond_proj": [ch.conv_p(m.cond_proj[0]), ch.conv_p(m.cond_proj[2]), ch.conv_p(m.cond_proj[4])],
+        "blocks": [
+            {"film": {"film": ch.conv_p(b.time_fusion.film)}, "dit": dit_block_p(b.block)}
+            for b in m.blocks
+        ],
+        "final_proj": ch.conv_p(m.final_proj),
+    }
+    if m.use_lsc:
+        p["lsc"] = [ch.conv_p(c) for c in m.lsc_layers]
+    return p
+
+
+def test_rope_mha(rng):
+    torch.manual_seed(0)
+    c, heads = 32, 2
+    m = dt_mod.MultiHeadAttention(c, c, heads, p_dropout=0.0)
+    m.eval()
+    b, t = 2, 13
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    mask, _ = _mask(rng, b, t)
+    am = torch.from_numpy(mask[:, None, :])
+    attn_mask = am.unsqueeze(1) * am.unsqueeze(-1)
+    attn_bias = torch.zeros_like(attn_mask).masked_fill(attn_mask == 0, -torch.finfo(torch.float32).max)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), attn_mask=attn_bias).numpy()
+    bias = jnp.where((jnp.asarray(mask)[:, None, :, None] * jnp.asarray(mask)[:, None, None, :]) == 0,
+                     -jnp.finfo(jnp.float32).max, 0.0)
+    got = S.dit_mha_apply(dit_mha_p(m), jnp.asarray(x), bias, n_heads=heads)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1) * mask[:, None, :],
+                               want * mask[:, None, :], **TOL)
+
+
+@pytest.mark.parametrize("gin", [16, 32])
+def test_dit_block(rng, gin):
+    torch.manual_seed(0)
+    h = 32
+    m = dt_mod.DiTConVBlock(h, 64, 2, 3, p_dropout=0.0, gin_channels=gin)
+    # zero-init adaLN makes the block an identity; randomize for a real test
+    with torch.no_grad():
+        m.adaLN_modulation[-1].weight.uniform_(-0.1, 0.1)
+        m.adaLN_modulation[-1].bias.uniform_(-0.1, 0.1)
+    m.eval()
+    b, t = 2, 11
+    x = rng.standard_normal((b, t, h)).astype(np.float32)
+    c = rng.standard_normal((b, gin)).astype(np.float32)
+    mask, _ = _mask(rng, b, t)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(c),
+                 torch.from_numpy(mask[:, None, :])).numpy()
+    got = S.dit_block_apply(dit_block_p(m), jnp.asarray(x), jnp.asarray(c), jnp.asarray(mask[..., None]),
+                            n_heads=2, kernel_size=3)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1) * mask[:, None, :],
+                               want * mask[:, None, :], **TOL)
+
+
+def test_cfm_decoder_estimator(rng):
+    torch.manual_seed(0)
+    cfg = small_cfg()
+    m = dec_mod.Decoder(
+        noise_channels=cfg.n_feats, cond_channels=cfg.hidden_channels, hidden_channels=cfg.dec_hidden,
+        out_channels=cfg.n_feats, filter_channels=cfg.dec_filter, dropout=0.0,
+        n_layers=cfg.dec_layers, n_heads=cfg.dec_heads, kernel_size=cfg.dec_kernel,
+        gin_channels=cfg.spk_emb_dim, use_lsc=True,
+    )
+    with torch.no_grad():
+        for blk in m.blocks:
+            blk.block.adaLN_modulation[-1].weight.uniform_(-0.1, 0.1)
+            blk.block.adaLN_modulation[-1].bias.uniform_(-0.1, 0.1)
+    m.eval()
+    b, t = 2, 12
+    x = rng.standard_normal((b, t, cfg.n_feats)).astype(np.float32)
+    mu = rng.standard_normal((b, t, cfg.hidden_channels)).astype(np.float32)
+    spk = rng.standard_normal((b, cfg.spk_emb_dim)).astype(np.float32)
+    tt = rng.random(b).astype(np.float32)
+    mask, _ = _mask(rng, b, t)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(mask[:, None, :]),
+                 torch.from_numpy(mu.transpose(0, 2, 1)), torch.from_numpy(tt), torch.from_numpy(spk)).numpy()
+    got = S.decoder_apply(decoder_p(m), cfg, jnp.asarray(x), jnp.asarray(mask[..., None]),
+                          jnp.asarray(mu), jnp.asarray(tt), jnp.asarray(spk))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, rtol=5e-3, atol=5e-3)
+
+
+def _build_cfm(cfg):
+    torch.manual_seed(1)
+    cfm_params = types.SimpleNamespace(solver="euler", sigma_min=1e-4)
+    m = fm_mod.CFM(in_channels=336, out_channel=cfg.n_feats, cfm_params=cfm_params,
+                   decoder_params=None, n_spks=cfg.n_spks, spk_emb_dim=128)
+    return m
+
+
+def test_cfm_euler_with_cfg(rng, capsys):
+    """Full ODE solve incl. classifier-free guidance vs reference solve_euler.
+
+    The reference CFM hardcodes the 384-wide estimator; compare at that size
+    but with few steps/short sequences to stay fast."""
+    cfg = S.StableTTSConfig(n_feats=80, hidden_channels=256, spk_emb_dim=128,
+                            dec_hidden=384, dec_filter=768, dec_layers=6, dec_heads=4, dec_kernel=3)
+    m = _build_cfm(cfg)
+    m.eval()
+    b, t, steps = 1, 8, 2
+    z = rng.standard_normal((b, t, 80)).astype(np.float32)
+    mu = rng.standard_normal((b, t, 256)).astype(np.float32)
+    spk = rng.standard_normal((b, 128)).astype(np.float32)
+    fake_spk = rng.standard_normal((1, 128)).astype(np.float32)
+    fake_content = rng.standard_normal((1, 256, 1)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+
+    t_span = torch.linspace(0, 1, steps + 1)
+    t_span = 1 - torch.cos(t_span * 0.5 * torch.pi)
+    with torch.no_grad():
+        want = m.solve_euler(
+            torch.from_numpy(z.transpose(0, 2, 1)), t_span, torch.from_numpy(mu.transpose(0, 2, 1)),
+            torch.from_numpy(mask[:, None, :]), torch.from_numpy(spk), None, steps,
+            guidance_scale=0.5, fake_speaker=torch.from_numpy(fake_spk),
+            fake_content=torch.from_numpy(fake_content),
+        ).numpy()
+
+    params = {
+        "decoder": decoder_p(m.estimator),
+        "fake_speaker": jnp.asarray(fake_spk),
+        "fake_content": jnp.asarray(fake_content),
+    }
+    got = S.cfm_solve(params, cfg, jnp.asarray(mu), jnp.asarray(mask[..., None]),
+                      rng=jax.random.PRNGKey(0), n_timesteps=steps, spks=jnp.asarray(spk),
+                      guidance_scale=0.5, z=jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, rtol=5e-3, atol=5e-3)
+
+
+def test_duration_loss_matches(rng):
+    torch.manual_seed(0)
+    dp = dp_mod.DeterministicDurationPredictor(None)
+    b, t = 3, 9
+    mu_dp = rng.standard_normal((b, t, 50)).astype(np.float32)
+    durations = rng.integers(1, 30, size=(b, t)).astype(np.float32)
+    mask, lengths = _mask(rng, b, t)
+    with torch.no_grad():
+        want = dp.compute_loss(
+            torch.from_numpy(durations[:, None, :]),
+            torch.from_numpy(mu_dp.transpose(0, 2, 1)),
+            torch.from_numpy(mask[:, None, :]),
+        )
+    got = S.duration_loss(jnp.asarray(mu_dp * mask[..., None]), jnp.asarray(durations),
+                          jnp.asarray(mask[..., None]), jnp.asarray(lengths))
+    np.testing.assert_allclose(float(got), want.item(), rtol=5e-3, atol=5e-3)
+
+
+def test_synthesise_and_train_smoke(rng):
+    cfg = small_cfg()
+    params = S.matcha_init(jax.random.PRNGKey(0), cfg)
+    b, t = 2, 10
+    x = rng.integers(0, cfg.n_vocab, size=(b, 5, t)).astype(np.int32)
+    xl = np.array([t, t - 3], np.int32)
+    bert = rng.standard_normal((b, t, cfg.bert_dim)).astype(np.float32)
+    sid = np.array([0, 2], np.int32)
+
+    out = S.synthesise(params, cfg, jnp.asarray(x), jnp.asarray(xl), jnp.asarray(sid),
+                       jnp.asarray(bert), rng=jax.random.PRNGKey(1), max_frames=64, n_timesteps=3)
+    assert out["mel"].shape == (b, 64, cfg.n_feats)
+    assert np.isfinite(np.asarray(out["mel"])).all()
+
+    tf = 32
+    y = rng.standard_normal((b, tf, cfg.n_feats)).astype(np.float32)
+    yl = np.array([tf, tf - 5], np.int32)
+    dur = np.ones((b, t), np.float32) * 3
+    losses = S.forward_train(params, cfg, jnp.asarray(x), jnp.asarray(xl), jnp.asarray(y), jnp.asarray(yl),
+                             jnp.asarray(sid), jnp.asarray(bert), jnp.asarray(dur), rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["diff_loss"]))
+    assert np.isfinite(float(losses["dur_loss"]))

@@ -743,6 +743,7 @@ def forward_train(
     z_slice, ids_slice = rand_slice_segments(z, y_lengths, cfg.segment_size, r_slice)
     o, o_mb = generator_apply(params["dec"], cfg, z_slice, g)
     return {
+        "x": x,
         "wav": o,
         "wav_mb": o_mb,
         "l_length": l_length,
