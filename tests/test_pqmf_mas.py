@@ -79,3 +79,15 @@ def test_mas_path_properties(rng):
     assert (np.diff(idx, axis=1) <= 1).all()
     # every token is used at least once
     assert (path.sum(1) >= 1).all()
+
+
+def test_mas_cpp_matches_oracle(rng):
+    from vosk_tts_tpu.native import maximum_path_cpp
+
+    b, t_y, t_x = 4, 43, 17
+    neg_cent = rng.standard_normal((b, t_y, t_x)).astype(np.float32)
+    t_ys = rng.integers(t_x, t_y + 1, size=b).astype(np.int32)
+    t_xs = np.minimum(rng.integers(5, t_x + 1, size=b), t_ys).astype(np.int32)
+    want = maximum_path_numpy(neg_cent, t_ys, t_xs)
+    got = maximum_path_cpp(neg_cent, t_ys, t_xs)
+    np.testing.assert_array_equal(got.astype(np.float32), want)
