@@ -34,6 +34,8 @@ from .models import vits2
 from .text import g2p_plain, g2p_noembed, g2p_multistream, load_dictionary
 from .utils.checkpoint import load_params
 
+MULTISTREAM_TYPES = ("multistream_v1", "multistream_v2", "multistream_v3")
+
 MODEL_DIRS = [
     os.getenv("VOSK_TPU_MODEL_PATH"),
     os.getenv("VOSK_MODEL_PATH"),
@@ -72,7 +74,24 @@ class Model:
         self.config = json.load(open(model_path / "config.json"))
         self.dic = load_dictionary(model_path / "dictionary") if (model_path / "dictionary").exists() else {}
         self.params = load_params(model_path / "params.npz")
-        self.model_config = vits2.VITS2Config(**self.config["model"]) if "model" in self.config else vits2.VITS2Config()
+        self.model_type = self.config.get("model_type", "vits2")
+        if self.model_type in MULTISTREAM_TYPES:
+            from .models import stabletts
+
+            self.model_config = stabletts.StableTTSConfig(**self.config.get("model", {}))
+            self.vocoder_type = self.config.get("vocoder", "hifigan")
+            from .models import vocoder as voc
+
+            if self.vocoder_type == "vocos":
+                self.vocoder_config = voc.VocosConfig(**self.config.get("vocoder_config", {}))
+            elif "vocoder_config" in self.config:
+                self.vocoder_config = vits2.VITS2Config(**self.config["vocoder_config"])
+            else:
+                self.vocoder_config = voc.hifigan_v1_config()
+        else:
+            self.model_config = (
+                vits2.VITS2Config(**self.config["model"]) if "model" in self.config else vits2.VITS2Config()
+            )
         self.sample_rate = self.config.get("sample_rate", 22050)
 
         # BERT front (multistream_v2/v3) — converted ruBERT, optional
@@ -128,20 +147,97 @@ class Synth:
         return self._infer_cache[key]
 
     def _encode(self, text: str):
-        """Text -> phoneme id sequence for the model's input format."""
+        """Text -> phoneme id sequence (plain vits2 bundles)."""
         cfg = self.model.config
         id_map = cfg["phoneme_id_map"]
-        model_type = cfg.get("model_type", "vits2")
-        if model_type in ("multistream_v1", "multistream_v2", "multistream_v3"):
-            raise NotImplementedError(
-                "multistream (StableTTS) bundles are not wired into Synth yet; use model_type 'vits2'"
-            )
         flat_map = {k: (v[0] if isinstance(v, list) else v) for k, v in id_map.items()}
         if cfg.get("no_blank", 0):
             ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=False)
         else:
             ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=True)
         return ids
+
+    def get_word_bert(self, text: str, nopunc: bool = False):
+        """One 768-d vector per word via the converted ruBERT
+        (reference synth.py:25-44: drop '##'-subwords, optionally punctuation)."""
+        enc = self.model.tokenizer.encode(text.replace("+", "").replace("_", ""))
+        hs = self.model.bert(enc.ids, enc.attention_mask, enc.type_ids)
+        layer = self.model.config.get("bert_layer", -3)
+        vectors = hs[layer]  # (T, H)
+        pattern = re.compile('[-,.?!;:"]')
+        selected = [
+            i for i, tok in enumerate(enc.tokens)
+            if tok[0] != "#" and not (nopunc and pattern.match(tok))
+        ]
+        return vectors[selected]
+
+    # ------------------------------------------------------------------
+    def _jit_multistream(self, text_bucket: int, max_frames: int, n_timesteps: int):
+        key = ("ms", text_bucket, max_frames, n_timesteps)
+        if key not in self._infer_cache:
+            from .models import stabletts
+            from .models import vocoder as voc
+
+            cfg = self.model.model_config
+            vtype = self.model.vocoder_type
+            vcfg = self.model.vocoder_config
+
+            @jax.jit
+            def run(params, x, x_lengths, sid, bert, pde, rng, temperature, length_scale, dp_temperature):
+                out = stabletts.synthesise(
+                    params["matcha"], cfg, x, x_lengths, sid, bert, rng=rng,
+                    max_frames=max_frames, n_timesteps=n_timesteps,
+                    temperature=temperature, length_scale=length_scale,
+                    phone_duration_extra=pde,
+                )
+                mel = out["mel"]
+                if vtype == "vocos":
+                    wav = voc.vocos_apply(params["vocoder"], vcfg, mel)
+                else:
+                    wav = voc.hifigan_apply(params["vocoder"], mel, vcfg)
+                return wav, out["mel_lengths"]
+
+            self._infer_cache[key] = run
+        return self._infer_cache[key]
+
+    def _synth_multistream(self, text, speaker_id, noise_level, speech_rate, duration_noise_level):
+        cfg = self.model.config
+        id_map = {k: (v[0] if isinstance(v, list) else v) for k, v in cfg["phoneme_id_map"].items()}
+        bert_rows = None
+        if self.model.bert is not None:
+            bert_rows = self.get_word_bert(text.lower(), nopunc=True)
+        pause = self.model.model_type == "multistream_v3"
+        tuples, embs, extras = g2p_multistream(
+            text, self.model.dic, id_map, bert_rows,
+            word_pos=self.model.model_type != "multistream_v1", pause_markers=pause,
+        )
+        t = len(tuples)
+        bucket = next((b for b in TEXT_BUCKETS if b >= t), TEXT_BUCKETS[-1])
+        x = np.zeros((1, 5, bucket), np.int32)
+        x[0, :, :t] = np.asarray(tuples, np.int64).T[:, :bucket]
+        bert_dim = self.model.model_config.bert_dim
+        bert = np.zeros((1, bucket, bert_dim), np.float32)
+        if embs is not None:
+            bert[0, :t] = np.asarray(embs, np.float32)[:bucket]
+        pde = np.zeros((1, bucket), np.float32)
+        if extras is not None:
+            pde[0, :t] = np.asarray(extras, np.float32)[:bucket]
+        x_lengths = np.array([t], np.int32)
+        sid = np.array([speaker_id or 0], np.int32)
+        # durations here are frames directly (sigmoid-sum), cap ~40/phone
+        max_frames = min(bucket * 48, 4096)
+        n_timesteps = int(cfg.get("inference", {}).get("n_timesteps", 10))
+
+        run = self._jit_multistream(bucket, max_frames, n_timesteps)
+        self._rng, rng = jax.random.split(self._rng)
+        wav, mel_lengths = run(
+            self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid),
+            jnp.asarray(bert), jnp.asarray(pde), rng,
+            jnp.float32(noise_level), jnp.float32(1.0 / speech_rate), jnp.float32(duration_noise_level),
+        )
+        hop = cfg.get("hop_length", 256)
+        n = int(mel_lengths[0]) * hop
+        return np.asarray(wav)[0, :n]
 
     # ------------------------------------------------------------------
     def synth_audio(self, text, speaker_id=0, noise_level=None, speech_rate=None,
@@ -157,6 +253,17 @@ class Synth:
             scale = inference.get("scale", 1.0)
 
         text = re.sub("—", "-", text.strip())
+
+        if self.model.model_type in MULTISTREAM_TYPES:
+            start = time.perf_counter()
+            wav = self._synth_multistream(text, speaker_id, noise_level, speech_rate, duration_noise_level)
+            audio = audio_float_to_int16(wav * scale)
+            elapsed = time.perf_counter() - start
+            dur = len(audio) / self.model.sample_rate
+            logging.info("Real-time factor: %0.3f (infer=%0.3f sec, audio=%0.2f sec)",
+                         elapsed / dur if dur else 0.0, elapsed, dur)
+            return audio
+
         ids = self._encode(text)
 
         bucket = next((b for b in TEXT_BUCKETS if b >= len(ids)), TEXT_BUCKETS[-1])

@@ -238,6 +238,32 @@ def generator(sd, p, cfg):
     return out
 
 
+def bert_from_state_dict(sd: dict, num_layers: int) -> dict:
+    """HF BertModel state_dict -> models/bert.py pytree."""
+    p = {
+        "word_emb": _np(sd["embeddings.word_embeddings.weight"]),
+        "pos_emb": _np(sd["embeddings.position_embeddings.weight"]),
+        "type_emb": _np(sd["embeddings.token_type_embeddings.weight"]),
+        "emb_ln": {"gamma": _np(sd["embeddings.LayerNorm.weight"]), "beta": _np(sd["embeddings.LayerNorm.bias"])},
+        "layers": [],
+    }
+    for i in range(num_layers):
+        b = f"encoder.layer.{i}"
+        p["layers"].append({
+            "q": linear(sd, f"{b}.attention.self.query"),
+            "k": linear(sd, f"{b}.attention.self.key"),
+            "v": linear(sd, f"{b}.attention.self.value"),
+            "attn_out": linear(sd, f"{b}.attention.output.dense"),
+            "attn_ln": {"gamma": _np(sd[f"{b}.attention.output.LayerNorm.weight"]),
+                        "beta": _np(sd[f"{b}.attention.output.LayerNorm.bias"])},
+            "ffn_in": linear(sd, f"{b}.intermediate.dense"),
+            "ffn_out": linear(sd, f"{b}.output.dense"),
+            "ffn_ln": {"gamma": _np(sd[f"{b}.output.LayerNorm.weight"]),
+                       "beta": _np(sd[f"{b}.output.LayerNorm.bias"])},
+        })
+    return p
+
+
 def vits2_from_state_dict(sd: dict, cfg) -> dict:
     """Full SynthesizerTrn state_dict -> vosk_tts_tpu.models.vits2 params."""
     sd = fold_weight_norm(sd)
