@@ -1,0 +1,174 @@
+"""Golden tests: GPT-SoVITS stage-1 AR model vs the reference torch code."""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import oracle
+
+from vosk_tts_tpu.models import gpt_sovits as G
+
+
+def oracle_ar():
+    import builtins
+    import importlib
+    import typing
+
+    import torch.nn.functional as F
+
+    # patched_mha_with_cache.py relies on names (Tuple/Optional/Tensor/...)
+    # that old torch re-exported via `from torch.nn.functional import *`
+    for name, val in (("Tuple", typing.Tuple), ("Optional", typing.Optional),
+                      ("Callable", typing.Callable), ("List", typing.List),
+                      ("Union", typing.Union), ("Tensor", torch.Tensor),
+                      ("math", __import__("math")), ("warnings", __import__("warnings"))):
+        if not hasattr(builtins, name):
+            setattr(builtins, name, val)
+    for name in ("_mha_shape_check", "_canonical_mask", "_none_or_dtype", "_in_projection_packed"):
+        if not hasattr(F, name):
+            import torch.nn.functional as tf
+            setattr(F, name, getattr(torch.nn.functional, name, None))
+
+    base = "/root/reference/training/gpt-sovits"
+    if oracle._SHIM in sys.path:
+        sys.path.remove(oracle._SHIM)
+    sys.path.insert(0, oracle._SHIM)  # torchmetrics stub
+    if base not in sys.path:
+        sys.path.insert(1, base)
+    return importlib.import_module("ar.models.t2s_model")
+
+
+def small_cfg():
+    return G.ARConfig(embedding_dim=32, hidden_dim=32, num_head=4, num_layers=2,
+                      vocab_size=17, phoneme_vocab_size=11, bert_dim=24, eos=16, ff_mult=4)
+
+
+def build_ref(cfg):
+    t2s = oracle_ar()
+    torch.manual_seed(0)
+    config = {
+        "model": {
+            "hidden_dim": cfg.hidden_dim, "embedding_dim": cfg.embedding_dim,
+            "head": cfg.num_head, "n_layer": cfg.num_layers,
+            "vocab_size": cfg.vocab_size, "phoneme_vocab_size": cfg.phoneme_vocab_size,
+            "dropout": 0.0, "EOS": cfg.eos,
+        }
+    }
+    m = t2s.Text2SemanticDecoder(config)
+    # the reference hardcodes bert_proj to 1024 inputs; resize for the test
+    m.bert_proj = torch.nn.Linear(cfg.bert_dim, cfg.embedding_dim)
+    torch.manual_seed(1)
+    torch.nn.init.uniform_(m.bert_proj.weight, -0.1, 0.1)
+    m.eval()
+    return m
+
+
+def convert(m, cfg):
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    return G.ar_from_state_dict(sd, cfg)
+
+
+def test_ar_forward_train_matches(rng):
+    cfg = small_cfg()
+    m = build_ref(cfg)
+    params = convert(m, cfg)
+
+    b, tx, ty = 2, 7, 9
+    x = rng.integers(0, cfg.phoneme_vocab_size, size=(b, tx)).astype(np.int64)
+    x_lens = np.array([tx, tx - 2], np.int64)
+    y = rng.integers(0, cfg.eos, size=(b, ty)).astype(np.int64)
+    y_lens = np.array([ty, ty - 3], np.int64)
+    bert = rng.standard_normal((b, tx, cfg.bert_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        want_loss, want_acc = m.forward_old(
+            torch.from_numpy(x), torch.from_numpy(x_lens), torch.from_numpy(y),
+            torch.from_numpy(y_lens), torch.from_numpy(bert.transpose(0, 2, 1)),
+        )
+    got_loss, got_acc = G.ar_forward_train(
+        params, cfg, jnp.asarray(x, jnp.int32), jnp.asarray(x_lens, jnp.int32),
+        jnp.asarray(y, jnp.int32), jnp.asarray(y_lens, jnp.int32), jnp.asarray(bert),
+    )
+    np.testing.assert_allclose(float(got_loss), want_loss.item(), rtol=2e-3)
+
+
+def test_ar_infer_matches_reference_greedy(rng):
+    """top_k=1 (argmax) decoding must produce the same token path as the
+    reference infer_panel with KV cache."""
+    cfg = small_cfg()
+    m = build_ref(cfg)
+    params = convert(m, cfg)
+
+    tx, tp = 6, 4
+    x = rng.integers(0, cfg.phoneme_vocab_size, size=(1, tx)).astype(np.int64)
+    x_lens = np.array([tx], np.int64)
+    prompts = rng.integers(0, cfg.eos, size=(1, tp)).astype(np.int64)
+    bert = rng.standard_normal((1, tx, cfg.bert_dim)).astype(np.float32)
+
+    steps = 8
+    with torch.no_grad():
+        y_ref, idx = m.infer_panel(
+            torch.from_numpy(x), torch.from_numpy(x_lens), torch.from_numpy(prompts),
+            torch.from_numpy(bert.transpose(0, 2, 1)), top_k=1, top_p=1.0,
+            early_stop_num=steps, temperature=1.0,
+        )
+    ref_tokens = y_ref[0, tp:].numpy()
+
+    tokens, n = G.ar_infer(
+        params, cfg, jnp.asarray(x, jnp.int32), jnp.asarray(bert), jnp.asarray(prompts, jnp.int32),
+        rng=jax.random.PRNGKey(0), max_new=steps + 2, top_k=1, top_p=1.0, temperature=1.0,
+    )
+    got = np.asarray(tokens)[0]
+    n = int(n)
+    k = min(len(ref_tokens), n)
+    assert k > 0
+    np.testing.assert_array_equal(got[:k], ref_tokens[:k])
+
+
+def test_ar_infer_eos_handling(rng):
+    cfg = small_cfg()
+    params = G.ar_init(jax.random.PRNGKey(0), cfg)
+    x = rng.integers(0, cfg.phoneme_vocab_size, size=(1, 5)).astype(np.int32)
+    bert = rng.standard_normal((1, 5, cfg.bert_dim)).astype(np.float32)
+    prompts = rng.integers(0, cfg.eos, size=(1, 3)).astype(np.int32)
+    tokens, n = G.ar_infer(params, cfg, jnp.asarray(x), jnp.asarray(bert), jnp.asarray(prompts),
+                           rng=jax.random.PRNGKey(1), max_new=12, top_k=3)
+    assert tokens.shape == (1, 12)
+    assert 0 <= int(n) <= 12
+
+
+def test_sovits_stage2_smoke(rng):
+    cfg = G.SoVITSConfig(
+        spec_channels=65, inter_channels=32, hidden_channels=32, filter_channels=64,
+        n_layers=4, upsample_initial_channel=64, upsample_rates=(4, 4),
+        upsample_kernel_sizes=(16, 16), gin_channels=32, ssl_dim=16, n_codes=20,
+        n_symbols=30, mrte_hidden=32, style_hidden=16, segment_size=8,
+    )
+    params = G.sovits_init(jax.random.PRNGKey(0), cfg)
+
+    # extract_latent: SSL -> codes at half rate
+    ssl = rng.standard_normal((1, 40, 16)).astype(np.float32)
+    codes = G.sovits_extract_latent(params, cfg, jnp.asarray(ssl))
+    assert codes.shape == (1, 20)
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 20).all()
+
+    # decode: codes -> waveform
+    text = rng.integers(0, 30, size=(1, 9)).astype(np.int32)
+    refer = rng.standard_normal((1, 30, 65)).astype(np.float32)
+    wav = G.sovits_decode(params, cfg, codes, jnp.asarray(text), jnp.asarray([9], jnp.int32),
+                          jnp.asarray(refer), jnp.asarray([30], jnp.int32), rng=jax.random.PRNGKey(1))
+    assert wav.shape[0] == 1 and wav.shape[1] == 40 * 16  # 16x upsample of 40 frames
+    assert np.isfinite(np.asarray(wav)).all()
+
+    # training forward
+    spec = rng.standard_normal((1, 40, 65)).astype(np.float32)
+    out = G.sovits_forward_train(params, cfg, jnp.asarray(ssl), jnp.asarray(spec),
+                                 jnp.asarray([40], jnp.int32), jnp.asarray(text),
+                                 jnp.asarray([9], jnp.int32), rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(out["commit_loss"]))
+    assert np.isfinite(np.asarray(out["wav"])).all()

@@ -1,0 +1,594 @@
+"""GPT-SoVITS stage-1 AR model (text -> semantic tokens) — TPU-native JAX.
+
+Re-design of training/gpt-sovits/ar/models/t2s_model.py:
+  * joint [x; y] transformer with causal-on-y mask (:95-148);
+  * training loss = summed CE over shifted targets with EOS padding (:243-248);
+  * ``infer_panel`` (:324-447) becomes a ``lax.while_loop`` over a
+    PREALLOCATED KV cache — the reference's hand-rolled python dict cache
+    (patched_mha_with_cache.py) is replaced by in-place
+    ``dynamic_update_slice`` writes at a static maximum length, so the whole
+    AR loop is one compiled program with no per-step host sync;
+  * top-k/top-p/repetition-penalty sampling (ar/models/utils.py:110-161)
+    implemented branch-free.
+
+Transformer: post-LN, ReLU FFN, torch-MHA packed-qkv layout (converted by
+``ar_from_state_dict``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclass(frozen=True)
+class ARConfig:
+    embedding_dim: int = 512
+    hidden_dim: int = 512
+    num_head: int = 8
+    num_layers: int = 24
+    vocab_size: int = 1025  # 1024 codes + EOS
+    phoneme_vocab_size: int = 512
+    bert_dim: int = 1024
+    eos: int = 1024
+    max_len: int = 1500  # static decode cap (t2s_model.py:390)
+    ff_mult: int = 4
+
+
+def _sine_pe(t: int, dim: int) -> np.ndarray:
+    position = np.arange(t, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32) * -(math.log(10000.0) / dim))
+    pe = np.zeros((t, dim), np.float32)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+def ar_init(key, cfg: ARConfig):
+    keys = jax.random.split(key, 4 + 4 * cfg.num_layers)
+    ki = iter(range(len(keys)))
+    d = cfg.hidden_dim
+
+    def lin(k, a, b, bias=True):
+        s = a**-0.5
+        out = {"w": jax.random.uniform(k, (a, b), jnp.float32, -s, s)}
+        if bias:
+            out["b"] = jnp.zeros((b,))
+        return out
+
+    p = {
+        "text_emb": jax.random.normal(keys[next(ki)], (cfg.phoneme_vocab_size, cfg.embedding_dim)) * 0.02,
+        "audio_emb": jax.random.normal(keys[next(ki)], (cfg.vocab_size, cfg.embedding_dim)) * 0.02,
+        "bert_proj": lin(keys[next(ki)], cfg.bert_dim, cfg.embedding_dim),
+        "text_alpha": jnp.ones(()),
+        "audio_alpha": jnp.ones(()),
+        "predict": lin(keys[next(ki)], d, cfg.vocab_size, bias=False),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        p["layers"].append({
+            "qkv": lin(keys[next(ki)], d, 3 * d),
+            "out": lin(keys[next(ki)], d, d),
+            "ln1": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+            "ff1": lin(keys[next(ki)], d, cfg.ff_mult * d),
+            "ff2": lin(keys[next(ki)], cfg.ff_mult * d, d),
+            "ln2": {"gamma": jnp.ones((d,)), "beta": jnp.zeros((d,))},
+        })
+    return p
+
+
+def _ln(x, p, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * p["gamma"] + p["beta"]
+
+
+def _layer_full(layer, cfg, x, attn_bias):
+    """Post-LN transformer layer over a full sequence. attn_bias: (B|1, 1, T, T)."""
+    b, t, d = x.shape
+    h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
+    qkv = x @ layer["qkv"]["w"] + layer["qkv"]["b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, h, dk).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, h, dk).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, h, dk).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dk) + attn_bias
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", attn, v).transpose(0, 2, 1, 3).reshape(b, t, d)
+    x = _ln(x + ctx @ layer["out"]["w"] + layer["out"]["b"], layer["ln1"])
+    f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
+    x = _ln(x + f @ layer["ff2"]["w"] + layer["ff2"]["b"], layer["ln2"])
+    return x
+
+
+def _embed_inputs(params, cfg, x_ids, bert, y_ids):
+    """Text emb + BERT + sine pos; audio emb + sine pos."""
+    x = params["text_emb"][x_ids]
+    if bert is not None:
+        x = x + bert @ params["bert_proj"]["w"] + params["bert_proj"]["b"]
+    t_x = x_ids.shape[1]
+    x = x + params["text_alpha"] * jnp.asarray(_sine_pe(t_x, cfg.embedding_dim))
+    y = params["audio_emb"][y_ids]
+    t_y = y_ids.shape[1]
+    y = y + params["audio_alpha"] * jnp.asarray(_sine_pe(t_y, cfg.embedding_dim))
+    return x, y
+
+
+def joint_mask(cfg, x_len: int, y_len: int, x_lens, y_lens=None):
+    """(B, 1, T, T) additive bias: x sees x (not y); y causal over y, sees x;
+    padding masked (t2s_model.py:112-143)."""
+    t = x_len + y_len
+    pos = jnp.arange(t)
+    is_y = pos >= x_len
+    # structural: key j visible to query i unless (j in y and (i in x or j > i))
+    vis = ~(is_y[None, :] & (~is_y[:, None] | (pos[None, :] > pos[:, None])))
+    pad_x = jnp.arange(x_len)[None, :] < x_lens[:, None]
+    if y_lens is not None:
+        pad_y = jnp.arange(y_len)[None, :] < y_lens[:, None]
+    else:
+        pad_y = jnp.ones((x_lens.shape[0], y_len), bool)
+    pad = jnp.concatenate([pad_x, pad_y], axis=1)  # (B, T) keys valid
+    mask = vis[None, :, :] & pad[:, None, :]
+    return jnp.where(mask, 0.0, -1e9)[:, None]  # (B, 1, T, T)
+
+
+def ar_forward_train(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
+    """CE-sum training loss (t2s_model.py forward_old :184-248, without DPO).
+    x_ids: (B, Tx); y_ids: (B, Ty) codes; bert: (B, Tx, bert_dim)."""
+    b, t_y = y_ids.shape
+    y_mask = jnp.arange(t_y)[None, :] >= y_lens[:, None]
+    codes = y_ids * (1 - y_mask.astype(y_ids.dtype))
+    # pad_y_eos: append EOS at each row's end (t2s_model.py:316-321)
+    padded = jnp.pad(codes, ((0, 0), (0, 1))) + cfg.eos * jnp.pad(
+        y_mask.astype(y_ids.dtype), ((0, 0), (0, 1)), constant_values=1
+    )
+    y_in, targets = padded[:, :-1], padded[:, 1:]
+
+    x, y = _embed_inputs(params, cfg, x_ids, bert, y_in)
+    xy = jnp.concatenate([x, y], axis=1)
+    bias = joint_mask(cfg, x_ids.shape[1], y_in.shape[1], x_lens, y_lens)
+    for layer in params["layers"]:
+        xy = _layer_full(layer, cfg, xy, bias)
+    logits = xy[:, x_ids.shape[1] :] @ params["predict"]["w"]  # (B, Ty, V)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # the reference sums CE over ALL positions (padded targets are EOS,
+    # t2s_model.py:243 F.cross_entropy(..., reduction="sum") with no mask)
+    loss = -jnp.sum(tgt_logp)
+    acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+    return loss, acc
+
+
+# ---------------------------------------------------------------------------
+# Sampling (ar/models/utils.py:110-161)
+# ---------------------------------------------------------------------------
+
+
+def sample_logits(rng, logits, prev_mask, *, top_k=15, top_p=1.0,
+                  repetition_penalty=1.35, temperature=1.0):
+    """logits: (V,); prev_mask: (V,) bool marks previously generated tokens."""
+    if repetition_penalty != 1.0:
+        penalized = jnp.where(logits < 0, logits * repetition_penalty, logits / repetition_penalty)
+        logits = jnp.where(prev_mask, penalized, logits)
+    if top_p is not None and top_p < 1.0:
+        sort_idx = jnp.argsort(-logits)
+        sorted_logits = logits[sort_idx]
+        cum = jnp.cumsum(jax.nn.softmax(sorted_logits), axis=-1)
+        remove_sorted = cum > top_p
+        remove_sorted = remove_sorted.at[0].set(False)
+        remove = jnp.zeros_like(remove_sorted).at[sort_idx].set(remove_sorted)
+        logits = jnp.where(remove, -jnp.inf, logits)
+    logits = logits / max(temperature, 1e-5)
+    if top_k is not None and top_k > 0:
+        kth = jnp.sort(logits)[-top_k]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached AR decode
+# ---------------------------------------------------------------------------
+
+
+def _layer_step(layer, cfg, x, cache_k, cache_v, layer_idx, pos, key_mask):
+    """One-token step. x: (B, 1, D); cache_[kv]: (L, B, maxT, H, Dk);
+    key_mask: (B, maxT) valid keys (incl. current)."""
+    b = x.shape[0]
+    h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
+    qkv = x @ layer["qkv"]["w"] + layer["qkv"]["b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    k = k.reshape(b, 1, h, dk)
+    v = v.reshape(b, 1, h, dk)
+    cache_k = lax.dynamic_update_slice(cache_k, k[None], (layer_idx, 0, pos, 0, 0))
+    cache_v = lax.dynamic_update_slice(cache_v, v[None], (layer_idx, 0, pos, 0, 0))
+    q = q.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)  # (B, H, 1, Dk)
+    keys = cache_k[layer_idx].transpose(0, 2, 1, 3)  # (B, H, maxT, Dk)
+    vals = cache_v[layer_idx].transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, keys) / math.sqrt(dk)
+    scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", attn, vals).transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
+    x = _ln(x + ctx @ layer["out"]["w"] + layer["out"]["b"], layer["ln1"])
+    f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
+    x = _ln(x + f @ layer["ff2"]["w"] + layer["ff2"]["b"], layer["ln2"])
+    return x, cache_k, cache_v
+
+
+def ar_infer(
+    params,
+    cfg: ARConfig,
+    x_ids: jax.Array,  # (1, Tx) full text tokens
+    bert: jax.Array,  # (1, Tx, bert_dim)
+    prompts: jax.Array,  # (1, Tp) reference semantic tokens
+    *,
+    rng: jax.Array,
+    max_new: int = 600,
+    top_k: int = 15,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    repetition_penalty: float = 1.35,
+):
+    """infer_panel (t2s_model.py:324-447) as prefill + while_loop decode.
+
+    Returns (tokens (1, max_new), n_generated) — tokens beyond n are EOS-pad.
+    """
+    params = jax.tree_util.tree_map(jnp.asarray, params)  # traced indexing needs jnp
+    t_x = x_ids.shape[1]
+    t_p = prompts.shape[1]
+    max_t = t_x + t_p + max_new + 1
+    h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
+    n_layers = cfg.num_layers
+
+    x, y = _embed_inputs(params, cfg, x_ids, bert, prompts)
+    xy = jnp.concatenate([x, y], axis=1)  # (1, Tx+Tp, D)
+    t0 = t_x + t_p
+
+    # ---- prefill: full pass, stash K/V into the static cache ----
+    cache_k = jnp.zeros((n_layers, 1, max_t, h, dk))
+    cache_v = jnp.zeros((n_layers, 1, max_t, h, dk))
+    bias = joint_mask(cfg, t_x, t_p, jnp.asarray([t_x]))
+    cur = xy
+    for li, layer in enumerate(params["layers"]):
+        qkv = cur @ layer["qkv"]["w"] + layer["qkv"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        cache_k = cache_k.at[li, :, :t0].set(k.reshape(1, t0, h, dk))
+        cache_v = cache_v.at[li, :, :t0].set(v.reshape(1, t0, h, dk))
+        cur = _layer_full(layer, cfg, cur, bias)
+    logits0 = cur[:, -1] @ params["predict"]["w"]  # (1, V)
+    logits0 = logits0.at[:, cfg.eos].set(-jnp.inf)  # first step can't EOS (:399)
+
+    prev_mask0 = jnp.zeros((cfg.vocab_size,), bool).at[prompts[0]].set(t_p > 0)
+    rng, r0 = jax.random.split(rng)
+    first = sample_logits(r0, logits0[0], prev_mask0, top_k=top_k, top_p=top_p,
+                          repetition_penalty=repetition_penalty, temperature=temperature)
+
+    tokens0 = jnp.full((max_new,), cfg.eos, jnp.int32).at[0].set(first.astype(jnp.int32))
+
+    def cond(state):
+        i, stop, *_ = state
+        return (i < max_new) & ~stop
+
+    def body(state):
+        i, stop, tokens, cache_k, cache_v, prev_mask, rng = state
+        last = tokens[i - 1]  # the (i-1)-th generated token
+        pos = t0 + i - 1  # its cache slot (prefill filled 0..t0-1)
+        y_idx = t_p + i - 1  # its audio positional index
+        emb = params["audio_emb"][last][None, None, :]
+        pe = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
+        emb = emb + params["audio_alpha"] * lax.dynamic_slice(pe, (y_idx, 0), (1, cfg.embedding_dim))[None]
+        key_mask = (jnp.arange(max_t) <= pos)[None, :]
+        cur = emb
+        for li, layer in enumerate(params["layers"]):
+            cur, cache_k, cache_v = _layer_step(layer, cfg, cur, cache_k, cache_v, li, pos, key_mask)
+        logits = (cur[:, -1] @ params["predict"]["w"])[0]
+        prev_mask = prev_mask.at[last].set(True)
+        rng, r = jax.random.split(rng)
+        nxt = sample_logits(r, logits, prev_mask, top_k=top_k, top_p=top_p,
+                            repetition_penalty=repetition_penalty, temperature=temperature).astype(jnp.int32)
+        is_eos = (jnp.argmax(logits) == cfg.eos) | (nxt == cfg.eos)
+        tokens = tokens.at[i].set(jnp.where(is_eos, cfg.eos, nxt))
+        return (i + 1, is_eos, tokens, cache_k, cache_v, prev_mask, rng)
+
+    state = (jnp.asarray(1), first == cfg.eos, tokens0, cache_k, cache_v,
+             prev_mask0.at[first].set(True), rng)
+    i, stop, tokens, *_ = lax.while_loop(cond, body, state)
+    n = jnp.where(stop, i - 1, i)  # EOS token itself is dropped (:447 y[:, :-1])
+    return tokens[None, :], n
+
+
+# ===========================================================================
+# Stage 2 — SoVITS token-to-waveform decoder (training/gpt-sovits/module/)
+# ===========================================================================
+
+
+@dataclass(frozen=True)
+class SoVITSConfig:
+    spec_channels: int = 1025
+    segment_size: int = 32  # frames
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    resblock: str = "1"
+    resblock_kernel_sizes: tuple = (3, 7, 11)
+    resblock_dilation_sizes: tuple = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: tuple = (10, 8, 2, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: tuple = (16, 16, 8, 2, 2)
+    gin_channels: int = 512
+    ssl_dim: int = 768
+    n_codes: int = 1024
+    semantic_frame_rate: str = "25hz"
+    n_symbols: int = 512
+    mrte_hidden: int = 512
+    style_hidden: int = 128
+
+    def as_vits2(self):
+        from .vits2 import VITS2Config
+
+        return VITS2Config(
+            spec_channels=self.spec_channels,
+            segment_size=self.segment_size,
+            inter_channels=self.inter_channels,
+            hidden_channels=self.hidden_channels,
+            filter_channels=self.filter_channels,
+            n_heads=self.n_heads,
+            n_layers=self.n_layers,
+            kernel_size=self.kernel_size,
+            resblock=self.resblock,
+            resblock_kernel_sizes=self.resblock_kernel_sizes,
+            resblock_dilation_sizes=self.resblock_dilation_sizes,
+            upsample_rates=self.upsample_rates,
+            upsample_initial_channel=self.upsample_initial_channel,
+            upsample_kernel_sizes=self.upsample_kernel_sizes,
+            decoder_type="hifigan",
+            gin_channels=self.gin_channels,
+            n_speakers=0,
+            use_transformer_flows=False,
+        )
+
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def mel_style_encoder_init(key, cfg: SoVITSConfig):
+    """module/modules.py:685-763 MelStyleEncoder."""
+    keys = jax.random.split(key, 10)
+    h = cfg.style_hidden
+
+    def lin(k, a, b):
+        s = a**-0.5
+        return {"w": jax.random.uniform(k, (a, b), jnp.float32, -s, s), "b": jnp.zeros((b,))}
+
+    def convp(k, a, b, ks):
+        s = (a * ks) ** -0.5
+        return {"w": jax.random.uniform(k, (ks, a, b), jnp.float32, -s, s), "b": jnp.zeros((b,))}
+
+    return {
+        "spec1": lin(keys[0], cfg.spec_channels, h),
+        "spec2": lin(keys[1], h, h),
+        "glu1": convp(keys[2], h, 2 * h, 5),
+        "glu2": convp(keys[3], h, 2 * h, 5),
+        "wq": lin(keys[4], h, h),
+        "wk": lin(keys[5], h, h),
+        "wv": lin(keys[6], h, h),
+        "fc_attn": lin(keys[7], h, h),
+        "fc": lin(keys[8], h, cfg.gin_channels),
+    }
+
+
+def mel_style_encoder_apply(params, cfg: SoVITSConfig, spec, spec_mask):
+    """spec: (B, T, spec_channels); spec_mask: (B, T, 1) -> (B, gin)."""
+    from ..ops.conv import conv1d
+
+    h = cfg.style_hidden
+    m = spec_mask[..., 0]  # (B, T) 1=valid
+    x = _mish(spec @ params["spec1"]["w"] + params["spec1"]["b"])
+    x = _mish(x @ params["spec2"]["w"] + params["spec2"]["b"])
+    for glu in ("glu1", "glu2"):
+        r = x
+        y = conv1d(x, params[glu]["w"], params[glu]["b"], padding=2)
+        x = r + y[..., :h] * jax.nn.sigmoid(y[..., h:])
+    x = x * m[..., None]
+    # self-attention with temperature sqrt(d_model) (modules.py:619-620)
+    n_head = 2
+    dk = h // n_head
+    b, t, _ = x.shape
+    q = (x @ params["wq"]["w"] + params["wq"]["b"]).reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+    k = (x @ params["wk"]["w"] + params["wk"]["b"]).reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+    v = (x @ params["wv"]["w"] + params["wv"]["b"]).reshape(b, t, n_head, dk).transpose(0, 2, 1, 3)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(h)
+    scores = jnp.where(m[:, None, None, :] == 0, -jnp.inf, scores)
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", attn, v).transpose(0, 2, 1, 3).reshape(b, t, h)
+    out = out @ params["fc_attn"]["w"] + params["fc_attn"]["b"]
+    x = x + out
+    x = x @ params["fc"]["w"] + params["fc"]["b"]
+    # masked temporal mean
+    return jnp.sum(x * m[..., None], axis=1) / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1)
+
+
+def rvq_encode(codebook: jax.Array, x: jax.Array) -> jax.Array:
+    """Nearest-neighbour codes. codebook: (bins, D); x: (B, T, D) -> (B, T)."""
+    d = jnp.sum(x**2, -1, keepdims=True) - 2 * x @ codebook.T + jnp.sum(codebook**2, -1)[None, None]
+    return jnp.argmin(d, axis=-1)
+
+
+def rvq_decode(codebook: jax.Array, codes: jax.Array) -> jax.Array:
+    return codebook[codes]
+
+
+def sovits_init(key, cfg: SoVITSConfig):
+    from ..ops import attention as att
+    from ..ops.wn import _conv_init
+    from .vits2 import flow_block_init, generator_init, posterior_init
+
+    keys = jax.random.split(key, 16)
+    h = cfg.hidden_channels
+    v = cfg.as_vits2()
+    mrte_h = cfg.mrte_hidden
+    return {
+        "ssl_proj": _conv_init(keys[0], 2 if cfg.semantic_frame_rate == "25hz" else 1, cfg.ssl_dim, cfg.ssl_dim),
+        "codebook": jax.random.normal(keys[1], (cfg.n_codes, cfg.ssl_dim)),
+        "enc_p": {
+            "ssl_proj": _conv_init(keys[2], 1, cfg.ssl_dim, h),
+            "encoder_ssl": att.encoder_init(keys[3], h, cfg.filter_channels, cfg.n_heads,
+                                            cfg.n_layers // 2, cfg.kernel_size),
+            "text_emb": jax.random.normal(keys[4], (cfg.n_symbols, h)),
+            "encoder_text": att.encoder_init(keys[5], h, cfg.filter_channels, cfg.n_heads,
+                                             cfg.n_layers, cfg.kernel_size),
+            "mrte": {
+                "c_pre": _conv_init(keys[6], 1, h, mrte_h),
+                "text_pre": _conv_init(keys[7], 1, h, mrte_h),
+                "attn": att.mha_init(keys[8], mrte_h, mrte_h, 4),
+                "c_post": _conv_init(keys[9], 1, mrte_h, h),
+            },
+            "encoder2": att.encoder_init(keys[10], h, cfg.filter_channels, cfg.n_heads,
+                                         cfg.n_layers // 2, cfg.kernel_size),
+            "proj": _conv_init(keys[11], 1, h, cfg.inter_channels * 2),
+        },
+        "enc_q": posterior_init(keys[12], v),
+        "flow": flow_block_init(keys[13], v),
+        "dec": generator_init(keys[14], v),
+        "ref_enc": mel_style_encoder_init(keys[15], cfg),
+    }
+
+
+def _sovits_enc_p(params, cfg: SoVITSConfig, quantized, y_lengths, max_frames,
+                  text, text_lengths, ge):
+    """Stage-2 TextEncoder with MRTE cross-attention
+    (module/models.py:174-248, mrte_model.py:9-61)."""
+    from ..ops import attention as att
+    from ..ops.commons import sequence_mask
+    from ..ops.conv import conv1d
+
+    y_mask = sequence_mask(y_lengths, max_frames).astype(jnp.float32)[..., None]
+    y = conv1d(quantized * y_mask, params["ssl_proj"]["w"], params["ssl_proj"]["b"]) * y_mask
+    y = att.encoder_apply(params["encoder_ssl"], y * y_mask, y_mask,
+                          n_heads=cfg.n_heads, kernel_size=cfg.kernel_size)
+    text_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[..., None]
+    t = params["text_emb"][text]
+    t = att.encoder_apply(params["encoder_text"], t * text_mask, text_mask,
+                          n_heads=cfg.n_heads, kernel_size=cfg.kernel_size)
+    # MRTE: ssl queries attend over text keys; + residual + speaker
+    mr = params["mrte"]
+    ssl_enc = conv1d(y * y_mask, mr["c_pre"]["w"], mr["c_pre"]["b"])
+    text_enc = conv1d(t * text_mask, mr["text_pre"]["w"], mr["text_pre"]["b"])
+    attn_mask = y_mask[:, :, 0][:, :, None] * text_mask[:, :, 0][:, None, :]  # (B, Ty, Tt)
+    x = att.mha_apply(mr["attn"], ssl_enc * y_mask, text_enc * text_mask,
+                      attn_mask[:, None], n_heads=4)
+    x = x + ssl_enc + (ge[:, None, :] if ge is not None else 0.0)
+    y = conv1d(x * y_mask, mr["c_post"]["w"], mr["c_post"]["b"])
+    y = att.encoder_apply(params["encoder2"], y * y_mask, y_mask,
+                          n_heads=cfg.n_heads, kernel_size=cfg.kernel_size)
+    stats = conv1d(y, params["proj"]["w"], params["proj"]["b"]) * y_mask
+    m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
+    return y, m, logs, y_mask
+
+
+def sovits_extract_latent(params, cfg: SoVITSConfig, ssl: jax.Array) -> jax.Array:
+    """SSL features (B, T, 768) -> semantic codes (B, T//2) (models.py:990)."""
+    from ..ops.conv import conv1d
+
+    stride = 2 if cfg.semantic_frame_rate == "25hz" else 1
+    x = conv1d(ssl, params["ssl_proj"]["w"], params["ssl_proj"]["b"], stride=stride, padding=0)
+    return rvq_encode(params["codebook"], x)
+
+
+def sovits_decode(params, cfg: SoVITSConfig, codes, text, text_lengths, refer, refer_lengths,
+                  *, rng, noise_scale: float = 0.5):
+    """Semantic tokens -> waveform (module/models.py:961-988).
+
+    codes: (B, Tc); text: (B, Tt); refer: (B, Tr, spec_channels)."""
+    from ..ops.commons import sequence_mask
+    from .vits2 import flow_block_apply, generator_apply
+
+    refer_mask = sequence_mask(refer_lengths, refer.shape[1]).astype(jnp.float32)[..., None]
+    ge = mel_style_encoder_apply(params["ref_enc"], cfg, refer * refer_mask, refer_mask)
+
+    quantized = rvq_decode(params["codebook"], codes)  # (B, Tc, 768)
+    if cfg.semantic_frame_rate == "25hz":
+        quantized = jnp.repeat(quantized, 2, axis=1)  # nearest x2 upsample
+    t_q = quantized.shape[1]
+    y_lengths = jnp.minimum(jnp.full((codes.shape[0],), t_q, jnp.int32), t_q)
+
+    x, m_p, logs_p, y_mask = _sovits_enc_p(params["enc_p"], cfg, quantized, y_lengths, t_q,
+                                           text, text_lengths, ge)
+    z_p = m_p + jax.random.normal(rng, m_p.shape) * jnp.exp(logs_p) * noise_scale
+    v = cfg.as_vits2()
+    z = flow_block_apply(params["flow"], v, z_p, y_mask, ge[:, None, :], reverse=True)
+    o, _ = generator_apply(params["dec"], v, z * y_mask, ge[:, None, :])
+    return o[..., 0]
+
+
+def sovits_forward_train(params, cfg: SoVITSConfig, ssl, spec, spec_lengths, text, text_lengths, *, rng):
+    """Training forward (module/models.py:902-937). ssl: (B, Ts, 768) already
+    frame-aligned (2x spec rate for 25hz); spec: (B, Tf, spec_channels)."""
+    from ..ops.commons import rand_slice_segments, sequence_mask
+    from ..ops.conv import conv1d
+    from .vits2 import flow_block_apply, generator_apply, posterior_apply
+
+    r_q, r_slice = jax.random.split(rng)
+    y_mask = sequence_mask(spec_lengths, spec.shape[1]).astype(jnp.float32)[..., None]
+    ge = mel_style_encoder_apply(params["ref_enc"], cfg, spec * y_mask, y_mask)
+
+    stride = 2 if cfg.semantic_frame_rate == "25hz" else 1
+    x_ssl = conv1d(ssl, params["ssl_proj"]["w"], params["ssl_proj"]["b"], stride=stride, padding=0)
+    codes = rvq_encode(params["codebook"], jax.lax.stop_gradient(x_ssl))
+    quantized = rvq_decode(params["codebook"], codes)
+    commit_loss = jnp.mean((x_ssl - jax.lax.stop_gradient(quantized)) ** 2)
+    # straight-through estimator
+    quantized = x_ssl + jax.lax.stop_gradient(quantized - x_ssl)
+    if cfg.semantic_frame_rate == "25hz":
+        quantized = jnp.repeat(quantized, 2, axis=1)
+    quantized = quantized[:, : spec.shape[1]]
+
+    x, m_p, logs_p, y_mask = _sovits_enc_p(params["enc_p"], cfg, quantized, spec_lengths,
+                                           spec.shape[1], text, text_lengths, ge)
+    v = cfg.as_vits2()
+    z, m_q, logs_q, _ = posterior_apply(params["enc_q"], v, spec, spec_lengths, ge[:, None, :], rng=r_q)
+    z_p = flow_block_apply(params["flow"], v, z, y_mask, ge[:, None, :])
+    z_slice, ids_slice = rand_slice_segments(z, spec_lengths, cfg.segment_size, r_slice)
+    o, _ = generator_apply(params["dec"], v, z_slice, ge[:, None, :])
+    return {
+        "wav": o, "commit_loss": commit_loss, "ids_slice": ids_slice, "y_mask": y_mask,
+        "z": z, "z_p": z_p, "m_p": m_p, "logs_p": logs_p, "m_q": m_q, "logs_q": logs_q,
+    }
+
+
+def ar_from_state_dict(sd: dict, cfg: ARConfig) -> dict:
+    """Reference Text2SemanticDecoder (model.* keys stripped) -> pytree."""
+    from ..utils.torch_params import linear, _np
+
+    p = {
+        "text_emb": _np(sd["ar_text_embedding.word_embeddings.weight"]),
+        "audio_emb": _np(sd["ar_audio_embedding.word_embeddings.weight"]),
+        "bert_proj": linear(sd, "bert_proj"),
+        "text_alpha": _np(sd["ar_text_position.alpha"]).reshape(()),
+        "audio_alpha": _np(sd["ar_audio_position.alpha"]).reshape(()),
+        "predict": {"w": _np(sd["ar_predict_layer.weight"]).T},
+        "layers": [],
+    }
+    i = 0
+    while f"h.layers.{i}.self_attn.in_proj_weight" in sd:
+        b = f"h.layers.{i}"
+        p["layers"].append({
+            "qkv": {"w": _np(sd[f"{b}.self_attn.in_proj_weight"]).T, "b": _np(sd[f"{b}.self_attn.in_proj_bias"])},
+            "out": linear(sd, f"{b}.self_attn.out_proj"),
+            "ln1": {"gamma": _np(sd[f"{b}.norm1.weight"]), "beta": _np(sd[f"{b}.norm1.bias"])},
+            "ff1": linear(sd, f"{b}.linear1"),
+            "ff2": linear(sd, f"{b}.linear2"),
+            "ln2": {"gamma": _np(sd[f"{b}.norm2.weight"]), "beta": _np(sd[f"{b}.norm2.bias"])},
+        })
+        i += 1
+    return p
