@@ -1,0 +1,135 @@
+"""Smoke tests: VC/cloning pipelines, eval harness, profiling, train steps."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_vc_pipeline(rng):
+    from vosk_tts_tpu import pipelines
+    from vosk_tts_tpu.models import hubert as H
+    from vosk_tts_tpu.models import quickvc as Q
+
+    hcfg = H.HubertConfig(hidden_size=24, num_hidden_layers=1, num_attention_heads=2,
+                          intermediate_size=48, conv_dim=(8, 8), conv_kernel=(10, 4),
+                          conv_stride=(5, 4), num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2)
+    hparams = H.hubert_init(jax.random.PRNGKey(0), hcfg)
+    vcfg = Q.QuickVCConfig(spec_channels=65, inter_channels=32, hidden_channels=32,
+                           upsample_initial_channel=64, gin_channels=16, ssl_dim=24)
+    vparams = Q.synthesizer_init(jax.random.PRNGKey(1), vcfg)
+
+    src = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    tgt = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    wav = pipelines.convert_voice(vparams, vcfg, hparams, hcfg, src, tgt, rng=jax.random.PRNGKey(2))
+    assert wav.ndim == 1 and len(wav) > 1000
+    assert np.isfinite(wav).all()
+
+
+def test_clone_pipeline(rng):
+    from vosk_tts_tpu import pipelines
+    from vosk_tts_tpu.models import gpt_sovits as G
+    from vosk_tts_tpu.models import hubert as H
+
+    hcfg = H.HubertConfig(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                          intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 4),
+                          conv_stride=(5, 4), num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2)
+    hparams = H.hubert_init(jax.random.PRNGKey(0), hcfg)
+    ar_cfg = G.ARConfig(embedding_dim=24, hidden_dim=24, num_head=2, num_layers=1,
+                        vocab_size=21, phoneme_vocab_size=30, bert_dim=16, eos=20)
+    ar_params = G.ar_init(jax.random.PRNGKey(1), ar_cfg)
+    s_cfg = G.SoVITSConfig(spec_channels=65, inter_channels=32, hidden_channels=32,
+                           filter_channels=48, n_layers=4, upsample_initial_channel=64,
+                           upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16),
+                           gin_channels=32, ssl_dim=16, n_codes=20, n_symbols=30,
+                           mrte_hidden=32, style_hidden=16)
+    s_params = G.sovits_init(jax.random.PRNGKey(2), s_cfg)
+
+    phonemes = rng.integers(0, 30, size=7).astype(np.int32)
+    bert = rng.standard_normal((7, 16)).astype(np.float32)
+    ref_wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    ref_spec = rng.standard_normal((25, 65)).astype(np.float32)
+
+    wav, n = pipelines.clone_tts(ar_params, ar_cfg, s_params, s_cfg, hparams, hcfg,
+                                 phonemes, bert, ref_wav, ref_spec,
+                                 rng=jax.random.PRNGKey(3), max_new=12)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.isfinite(wav).all()
+
+
+def test_eval_harness(rng, tmp_path):
+    from vosk_tts_tpu.eval import speaker_similarity, EvalResult
+    from vosk_tts_tpu.eval.harness import transcribe_wer, _edit_distance
+
+    a = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    b = (rng.standard_normal(22050) * 0.1).astype(np.float32)
+    r = speaker_similarity([(a, a), (a, b)])
+    assert isinstance(r, EvalResult)
+    assert -1.0 <= r.extra["min"] <= 1.0 and r.value <= 1.0
+
+    assert _edit_distance("a b c".split(), "a x c".split()) == 1
+    wer = transcribe_wer(["p1"], ["привет мир"], asr=lambda p: "привет мир")
+    assert wer.value == 0.0
+
+
+def test_profiling_stage_timer():
+    from vosk_tts_tpu.utils.profiling import StageTimer, device_stats
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    t.add_audio(22050)
+    rep = t.report()
+    assert rep["audio_sec"] == 1.0
+    assert "a" in rep["stages_sec"]
+    assert isinstance(device_stats(), list)
+
+
+def test_stabletts_train_step(rng):
+    from vosk_tts_tpu.models import stabletts as S
+    from vosk_tts_tpu.train import stabletts_train as ST
+
+    mcfg = S.StableTTSConfig(
+        n_vocab=30, n_feats=8, n_spks=4, spk_emb_dim=8, hidden_channels=16,
+        filter_channels=32, n_heads=2, n_layers=1, phone_emb_dim=6, punc_emb_dim=2,
+        bert_dim=12, bert_proj_dim=2, dec_hidden=16, dec_filter=32, dec_layers=2, dec_heads=2,
+    )
+    tcfg = ST.StableTrainConfig()
+    state = ST.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = jax.jit(ST.make_train_step(mcfg, tcfg))
+    b, t, tf = 2, 6, 18
+    batch = {
+        "x": rng.integers(0, 30, size=(b, 5, t)).astype(np.int32),
+        "x_lengths": np.full((b,), t, np.int32),
+        "mel": rng.standard_normal((b, tf, 8)).astype(np.float32),
+        "mel_lengths": np.full((b,), tf, np.int32),
+        "sid": rng.integers(0, 4, size=(b,)).astype(np.int32),
+        "bert": rng.standard_normal((b, t, 12)).astype(np.float32),
+        "durations": np.full((b, t), 3.0, np.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vc_train_step(rng):
+    from vosk_tts_tpu.models import quickvc as Q
+    from vosk_tts_tpu.train import vc_train as VT
+
+    mcfg = Q.QuickVCConfig(spec_channels=33, inter_channels=16, hidden_channels=16,
+                           upsample_initial_channel=32, gin_channels=16, ssl_dim=12,
+                           segment_size=4)
+    tcfg = VT.VCTrainConfig()
+    state = VT.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = jax.jit(VT.make_train_step(mcfg, tcfg))
+    b, t = 1, 16
+    batch = {
+        "c": rng.standard_normal((b, t, 12)).astype(np.float32),
+        "spec": rng.standard_normal((b, t, 33)).astype(np.float32),
+        "mel": rng.standard_normal((b, t, 80)).astype(np.float32),
+        "wav": (rng.standard_normal((b, t * 320)) * 0.2).astype(np.float32),
+        "sid": np.zeros((b,), np.int32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k

@@ -187,7 +187,8 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
             loss_gen, _ = L.generator_loss(yg_)
             loss_gen_tprls = L.generator_tprls_loss(yr_, yg_)
             loss_fm = L.feature_loss(fmap_r, fmap_g)
-            loss_mel = jnp.mean(jnp.abs(y_mel - yh_mel)) * tcfg.c_mel
+            n = min(y_mel.shape[1], yh_mel.shape[1])
+            loss_mel = jnp.mean(jnp.abs(y_mel[:, :n] - yh_mel[:, :n])) * tcfg.c_mel
             loss_dur = jnp.sum(o["l_length"])
             loss_kl = L.kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"], o["y_mask"]) * tcfg.c_kl
             if mcfg.decoder_type == "mb_istft":
