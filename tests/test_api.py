@@ -102,3 +102,17 @@ def test_cli(bundle, tmp_path):
     assert r.returncode == 0, r.stderr
     with wave.open(str(out)) as f:
         assert f.getnframes() > 0
+
+
+def test_synth_batch_sharded(bundle):
+    """Batch synthesis shards over the virtual 8-device mesh."""
+    import jax
+    from vosk_tts_tpu.api import Model, Synth
+
+    model = Model(model_path=bundle)
+    synth = Synth(model)
+    texts = ["Привет мир!", "Добрый день.", "Как дела?"]
+    wavs = synth.synth_batch(texts, speaker_ids=[0, 1, 2])
+    assert len(wavs) == 3
+    for w in wavs:
+        assert w.dtype.name == "int16" and len(w) > 1000

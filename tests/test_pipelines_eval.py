@@ -133,3 +133,33 @@ def test_vc_train_step(rng):
     state, metrics = step(state, batch, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_gpt_sovits_s1_train_step(rng):
+    from vosk_tts_tpu.models import gpt_sovits as G
+    from vosk_tts_tpu.train import gpt_sovits_train as GT
+
+    mcfg = G.ARConfig(embedding_dim=24, hidden_dim=24, num_head=2, num_layers=1,
+                      vocab_size=21, phoneme_vocab_size=30, bert_dim=16, eos=20)
+    tcfg = GT.S1TrainConfig()
+    state = GT.init_s1_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = jax.jit(GT.make_s1_step(mcfg, tcfg))
+    b, tx, ty = 2, 6, 8
+    batch = {
+        "x": rng.integers(0, 30, size=(b, tx)).astype(np.int32),
+        "x_lengths": np.full((b,), tx, np.int32),
+        "y": rng.integers(0, 20, size=(b, ty)).astype(np.int32),
+        "y_lengths": np.full((b,), ty, np.int32),
+        "bert": rng.standard_normal((b, tx, 16)).astype(np.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_plotting():
+    from vosk_tts_tpu.utils.plotting import plot_spectrogram_to_numpy, plot_alignment_to_numpy
+
+    img = plot_spectrogram_to_numpy(np.random.rand(80, 100))
+    assert img.ndim == 3 and img.shape[-1] == 3
+    img2 = plot_alignment_to_numpy(np.random.rand(50, 20))
+    assert img2.ndim == 3

@@ -301,3 +301,55 @@ class Synth:
             f.setsampwidth(2)
             f.setframerate(self.model.sample_rate)
             f.writeframes(audio.tobytes())
+
+    # ------------------------------------------------------------------
+    def synth_batch(self, texts, speaker_ids=None, noise_level=None, speech_rate=None,
+                    duration_noise_level=None, scale=None):
+        """Batched synthesis of many utterances in ONE device program.
+
+        When more than one device is visible, the batch is sharded over the
+        'data' mesh axis (pod-slice data-parallel synthesis); otherwise it
+        runs as a plain on-chip batch. Returns a list of int16 arrays.
+        """
+        inference = self.model.config.get("inference", {})
+        noise_level = inference.get("noise_level", 0.8) if noise_level is None else noise_level
+        speech_rate = inference.get("speech_rate", 1.0) if speech_rate is None else speech_rate
+        duration_noise_level = (
+            inference.get("duration_noise_level", 0.8) if duration_noise_level is None else duration_noise_level
+        )
+        scale = inference.get("scale", 1.0) if scale is None else scale
+        if speaker_ids is None:
+            speaker_ids = [0] * len(texts)
+
+        all_ids = [self._encode(re.sub("—", "-", t.strip())) for t in texts]
+        bucket = next((b for b in TEXT_BUCKETS if b >= max(len(i) for i in all_ids)), TEXT_BUCKETS[-1])
+        n = len(texts)
+        n_dev = len(jax.devices())
+        pad_b = -(-n // n_dev) * n_dev  # batch padded to a device multiple
+
+        x = np.zeros((pad_b, bucket), np.int32)
+        x_lengths = np.ones((pad_b,), np.int32)
+        sid = np.zeros((pad_b,), np.int32)
+        for i, ids in enumerate(all_ids):
+            ids = ids[:bucket]
+            x[i, : len(ids)] = ids
+            x_lengths[i] = len(ids)
+            sid[i] = speaker_ids[i] or 0
+        max_frames = bucket * FRAMES_PER_TOKEN
+
+        run = self._jit_infer(bucket, max_frames)
+        self._rng, rng = jax.random.split(self._rng)
+
+        args = [jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid)]
+        if n_dev > 1:
+            from .parallel import mesh as M
+
+            mesh = M.make_mesh()
+            sharding = M.batch_sharding(mesh)
+            args = [jax.device_put(a, sharding) for a in args]
+
+        out = run(self.model.params, *args, rng,
+                  jnp.float32(noise_level), jnp.float32(1.0 / speech_rate), jnp.float32(duration_noise_level))
+        wavs = np.asarray(out["wav"])[..., 0]
+        lengths = np.asarray(out["wav_lengths"])
+        return [audio_float_to_int16(wavs[i, : lengths[i]] * scale) for i in range(n)]

@@ -603,7 +603,7 @@ def generator_apply(params, cfg: VITS2Config, x, g=None):
     # ms_istft: zero-stuffed upsample ×sub then learned synthesis filter k=63
     up_w = np.zeros((sub, sub, sub), dtype=np.float32)
     up_w[0] = np.eye(sub, dtype=np.float32) * sub
-    y_up = conv_transpose1d(y_mb, jnp.asarray(up_w), stride=sub, padding=0)
+    y_up = conv_transpose1d(y_mb, jnp.asarray(up_w, dtype=y_mb.dtype), stride=sub, padding=0)
     y = conv1d(y_up, params["multistream_conv_post"]["w"], None, padding=31)
     return y, y_mb
 

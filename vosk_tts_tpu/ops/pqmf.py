@@ -55,7 +55,7 @@ def pqmf_analysis(x: jax.Array, subbands: int = 4, taps: int = 62,
     h_a, _ = pqmf_filters(subbands, taps, cutoff_ratio, beta)
     # Torch conv1d correlates with flipped-index order h[t] applied as
     # sum_k x[t+k]*w[k]; build (K, 1, subbands) kernel accordingly.
-    w = jnp.asarray(h_a.T[:, None, :])  # (taps+1, 1, subbands)
+    w = jnp.asarray(h_a.T[:, None, :], dtype=x.dtype)  # (taps+1, 1, subbands)
     x = jnp.pad(x, ((0, 0), (taps // 2, taps // 2), (0, 0)))
     return conv1d(x, w, stride=subbands, padding=0)
 
@@ -69,7 +69,7 @@ def pqmf_synthesis(x: jax.Array, subbands: int = 4, taps: int = 62,
     # set, so output length is T*subbands exactly as the reference.
     up_w = np.zeros((subbands, subbands, subbands), dtype=np.float32)
     up_w[0] = np.eye(subbands, dtype=np.float32) * subbands
-    up = conv_transpose1d(x, jnp.asarray(up_w), stride=subbands, padding=0)
+    up = conv_transpose1d(x, jnp.asarray(up_w, dtype=x.dtype), stride=subbands, padding=0)
     up = jnp.pad(up, ((0, 0), (taps // 2, taps // 2), (0, 0)))
-    w = jnp.asarray(h_s.T[:, :, None])  # (taps+1, subbands, 1)
+    w = jnp.asarray(h_s.T[:, :, None], dtype=x.dtype)  # (taps+1, subbands, 1)
     return conv1d(up, w, padding=0)

@@ -136,7 +136,7 @@ def stft(y: jax.Array, n_fft: int, hop: int, win: int, *, pad: int | None = None
         pad = (n_fft - hop) // 2
     y = _reflect_pad(y, pad)
     fwd, _ = _dft_bases(n_fft, win)
-    frames = conv1d(y[..., None], jnp.asarray(fwd)[:, None, :], stride=hop, padding=0)
+    frames = conv1d(y[..., None], jnp.asarray(fwd, dtype=y.dtype)[:, None, :], stride=hop, padding=0)
     cutoff = n_fft // 2 + 1
     return frames[..., :cutoff], frames[..., cutoff:]
 
@@ -191,7 +191,7 @@ def _ola_inverse(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: in
     im = mag * jnp.sin(phase)
     spectra = jnp.concatenate([re, im], axis=-1)  # (B, T, n_fft+2)
     _, inv = _dft_bases(n_fft, win)
-    w = jnp.asarray(inv)[..., None].transpose(1, 0, 2)  # (K=n_fft, C_in=n_fft+2, 1)
+    w = jnp.asarray(inv, dtype=spectra.dtype)[..., None].transpose(1, 0, 2)  # (K, C_in, 1)
     y = conv_transpose1d(spectra, w, stride=hop, padding=0)
     return y[..., 0]  # (B, hop*(T-1) + n_fft)
 
@@ -206,7 +206,7 @@ def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: int) -> j
     t = mag.shape[1]
     y = _ola_inverse(mag, phase, n_fft, hop, win)
     env = _window_envelope_np(n_fft, hop, win, t)
-    y = y / jnp.asarray(np.where(env > 1.1754944e-38, env, 1.0))
+    y = y / jnp.asarray(np.where(env > 1.1754944e-38, env, 1.0), dtype=y.dtype)
     half = n_fft // 2
     return y[:, half : y.shape[1] - half]
 

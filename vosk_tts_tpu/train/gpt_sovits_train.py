@@ -1,0 +1,152 @@
+"""GPT-SoVITS training steps.
+
+Stage 1 (s1_train.py + t2s_lightning_module): AR cross-entropy with AdamW +
+warmup-cosine schedule. Stage 2 (s2_train.py): the usual VITS GAN recipe
+over the SoVITS graph (MultiPeriodDiscriminator, mel/KL/fm losses + RVQ
+commit loss), same fused single-jit structure as train/vits2_train.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import discriminators as D
+from ..models import gpt_sovits as G
+from ..ops.commons import slice_segments
+from ..ops.stft import mel_spectrogram
+from . import losses as L
+from .vits2_train import TrainConfig, make_optimizer
+
+
+@dataclass(frozen=True)
+class S1TrainConfig:
+    learning_rate: float = 1e-4
+    warmup_steps: int = 2000
+    total_steps: int = 300_000
+    weight_decay: float = 0.01
+    grad_clip: float = 1.0
+
+
+def make_s1_optimizer(tcfg: S1TrainConfig):
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, tcfg.learning_rate, tcfg.warmup_steps, tcfg.total_steps
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(schedule, weight_decay=tcfg.weight_decay),
+    )
+
+
+def init_s1_state(key, mcfg: G.ARConfig, tcfg: S1TrainConfig):
+    params = G.ar_init(key, mcfg)
+    opt = make_s1_optimizer(tcfg)
+    return {"step": jnp.zeros((), jnp.int32), "params": params, "opt": opt.init(params)}
+
+
+def make_s1_step(mcfg: G.ARConfig, tcfg: S1TrainConfig):
+    opt = make_s1_optimizer(tcfg)
+
+    def step(state, batch, rng):
+        def loss_fn(params):
+            loss, acc = G.ar_forward_train(
+                params, mcfg, batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"], batch["bert"]
+            )
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = opt.update(grads, state["opt"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return (
+            {"step": state["step"] + 1, "params": params, "opt": opt_state},
+            {"loss": loss, "acc": acc},
+        )
+
+    return step
+
+
+@dataclass(frozen=True)
+class S2TrainConfig(TrainConfig):
+    sampling_rate: int = 32000
+    filter_length: int = 2048
+    hop_length: int = 640
+    win_length: int = 2048
+    c_commit: float = 1.0
+
+
+def init_s2_state(key, mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
+    kg, kd = jax.random.split(key)
+    params_g = G.sovits_init(kg, mcfg)
+    params_d = D.mpd_init(kd)
+    opt = make_optimizer(tcfg)
+    return {
+        "step": jnp.zeros((), jnp.int32),
+        "params_g": params_g,
+        "params_d": params_d,
+        "opt_g": opt.init(params_g),
+        "opt_d": opt.init(params_d),
+    }
+
+
+def make_s2_step(mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
+    opt = make_optimizer(tcfg)
+    seg_samples = mcfg.segment_size * tcfg.hop_length
+
+    def mel_of(wav):
+        return mel_spectrogram(wav, tcfg.filter_length, tcfg.n_mel_channels, tcfg.sampling_rate,
+                               tcfg.hop_length, tcfg.win_length, tcfg.mel_fmin, tcfg.mel_fmax)
+
+    def step(state, batch, rng):
+        """batch: ssl (B,Ts,768), spec (B,Tf,F), spec_lengths, text,
+        text_lengths, wav (B, Tf*hop)."""
+
+        def fwd(params_g):
+            out = G.sovits_forward_train(
+                params_g, mcfg, batch["ssl"], batch["spec"], batch["spec_lengths"],
+                batch["text"], batch["text_lengths"], rng=rng,
+            )
+            ids = out.pop("ids_slice")
+            return out, ids
+
+        out, vjp_fn, ids_slice = jax.vjp(fwd, state["params_g"], has_aux=True)
+        y_hat = out["wav"][..., 0][:, :seg_samples]
+        y_real = slice_segments(batch["wav"][..., None], ids_slice * tcfg.hop_length, seg_samples)[..., 0]
+        y_mel = mel_of(y_real)
+
+        def d_loss_fn(params_d):
+            yr, yg, _, _ = D.mpd_apply(params_d, y_real, jax.lax.stop_gradient(y_hat))
+            loss, _, _ = L.discriminator_loss(yr, yg)
+            return loss
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state["params_d"])
+        d_updates, opt_d = opt.update(d_grads, state["opt_d"], state["params_d"])
+        params_d = optax.apply_updates(state["params_d"], d_updates)
+
+        def g_loss_fn(o):
+            yh = o["wav"][..., 0][:, :seg_samples]
+            yr, yg, fmap_r, fmap_g = D.mpd_apply(params_d, y_real, yh)
+            loss_gen, _ = L.generator_loss(yg)
+            loss_fm = L.feature_loss(fmap_r, fmap_g)
+            yh_mel = mel_of(yh)
+            n = min(y_mel.shape[1], yh_mel.shape[1])
+            loss_mel = jnp.mean(jnp.abs(y_mel[:, :n] - yh_mel[:, :n])) * tcfg.c_mel
+            loss_kl = L.kl_loss(o["z_p"], o["logs_q"], o["m_p"], o["logs_p"], o["y_mask"]) * tcfg.c_kl
+            total = loss_gen + loss_fm + loss_mel + loss_kl + o["commit_loss"] * tcfg.c_commit
+            return total, {"loss_gen": loss_gen, "loss_fm": loss_fm, "loss_mel": loss_mel,
+                           "loss_kl": loss_kl, "commit": o["commit_loss"]}
+
+        (g_loss, g_metrics), out_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(out)
+        (g_grads,) = vjp_fn(out_grads)
+        g_updates, opt_g = opt.update(g_grads, state["opt_g"], state["params_g"])
+        params_g = optax.apply_updates(state["params_g"], g_updates)
+
+        return (
+            {"step": state["step"] + 1, "params_g": params_g, "params_d": params_d,
+             "opt_g": opt_g, "opt_d": opt_d},
+            {"loss_disc": d_loss, "loss_gen_all": g_loss, **g_metrics},
+        )
+
+    return step
