@@ -53,12 +53,15 @@ def bench_jax():
     sid = jnp.zeros((BATCH,), jnp.int32)
     rng = jax.random.PRNGKey(1)
 
-    # compile + warm
-    run(params, x, x_lengths, sid, rng).block_until_ready()
+    # compile + warm; sync via host fetch (block_until_ready is not a
+    # reliable barrier through the remote-TPU tunnel)
+    import numpy as np
+
+    np.asarray(run(params, x, x_lengths, sid, rng)[:, :8, 0])
     t0 = time.perf_counter()
     for i in range(ITERS):
         wav = run(params, x, x_lengths, sid, jax.random.fold_in(rng, i))
-    wav.block_until_ready()
+    np.asarray(wav[:, :8, 0])  # forces the whole in-order queue to drain
     elapsed = (time.perf_counter() - t0) / ITERS
 
     audio_seconds = BATCH * MAX_FRAMES * HOP / SAMPLE_RATE

@@ -118,3 +118,33 @@ def test_fft_block(rng, gin):
     got = fft_apply(p, jnp.asarray(x), jnp.asarray(mask[..., None]),
                     jnp.asarray(g) if gin else None, n_heads=heads, kernel_size=k)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, rtol=1e-3, atol=1e-3)
+
+
+def test_decoder_stack(rng):
+    from vosk_tts_tpu.ops import attention as A
+    import convert_helpers as ch
+
+    torch.manual_seed(0)
+    h, fc, heads, layers, k = 16, 32, 2, 2, 3
+    m = attentions.Decoder(h, fc, heads, layers, kernel_size=k, p_dropout=0.0)
+    m.eval()
+    b, tx, th = 2, 9, 13
+    x = rng.standard_normal((b, tx, h)).astype(np.float32)
+    hh = rng.standard_normal((b, th, h)).astype(np.float32)
+    x_mask = np.ones((b, tx), np.float32)
+    h_mask = _mask(rng, b, th)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(x_mask[:, None, :]),
+                 torch.from_numpy(hh.transpose(0, 2, 1)), torch.from_numpy(h_mask[:, None, :])).numpy()
+    p = {
+        "self_attn": [ch.mha_p(a) for a in m.self_attn_layers],
+        "cross_attn": [ch.mha_p(a) for a in m.encdec_attn_layers],
+        "ffn": [ch.ffn_p(f) for f in m.ffn_layers],
+        "norm0": [ch.ln_p(n) for n in m.norm_layers_0],
+        "norm1": [ch.ln_p(n) for n in m.norm_layers_1],
+        "norm2": [ch.ln_p(n) for n in m.norm_layers_2],
+    }
+    got = A.decoder_apply(p, jnp.asarray(x), jnp.asarray(x_mask[..., None]),
+                          jnp.asarray(hh), jnp.asarray(h_mask[..., None]),
+                          n_heads=heads, kernel_size=k)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want, rtol=1e-3, atol=1e-3)

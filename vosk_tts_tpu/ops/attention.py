@@ -226,6 +226,48 @@ def encoder_apply(params, x, x_mask, g=None, *, n_heads: int, kernel_size: int,
 
 
 # ---------------------------------------------------------------------------
+# Decoder stack — causal self-attn + encoder cross-attn (attentions.py:67-115)
+# ---------------------------------------------------------------------------
+
+
+def decoder_init(key, hidden: int, filter_ch: int, n_heads: int, n_layers: int, kernel_size: int,
+                 *, proximal_init: bool = True):
+    keys = jax.random.split(key, 3 * n_layers)
+    return {
+        "self_attn": [
+            mha_init(keys[3 * i], hidden, hidden, n_heads, proximal_init=proximal_init)
+            for i in range(n_layers)
+        ],
+        "cross_attn": [mha_init(keys[3 * i + 1], hidden, hidden, n_heads) for i in range(n_layers)],
+        "ffn": [ffn_init(keys[3 * i + 2], hidden, hidden, filter_ch, kernel_size) for i in range(n_layers)],
+        "norm0": [{"gamma": jnp.ones((hidden,)), "beta": jnp.zeros((hidden,))} for _ in range(n_layers)],
+        "norm1": [{"gamma": jnp.ones((hidden,)), "beta": jnp.zeros((hidden,))} for _ in range(n_layers)],
+        "norm2": [{"gamma": jnp.ones((hidden,)), "beta": jnp.zeros((hidden,))} for _ in range(n_layers)],
+    }
+
+
+def decoder_apply(params, x, x_mask, h, h_mask, *, n_heads: int, kernel_size: int,
+                  proximal_bias: bool = False, p_dropout: float = 0.0, rng=None):
+    """x: decoder input (B, Tx, H); h: encoder output (B, Th, H)."""
+    t = x.shape[1]
+    self_mask = subsequent_mask(t)[None]  # (1,1,T,T)
+    cross_mask = h_mask[:, None, :, 0][:, :, None, :] * x_mask[:, None, :, 0][:, :, :, None]
+    x = x * x_mask
+    n_layers = len(params["self_attn"])
+    for i in range(n_layers):
+        y = mha_apply(params["self_attn"][i], x, x, self_mask, n_heads=n_heads,
+                      proximal_bias=proximal_bias, p_dropout=p_dropout, rng=rng)
+        x = layer_norm(x + y, params["norm0"][i]["gamma"], params["norm0"][i]["beta"])
+        y = mha_apply(params["cross_attn"][i], x, h, cross_mask, n_heads=n_heads,
+                      p_dropout=p_dropout, rng=rng)
+        x = layer_norm(x + y, params["norm1"][i]["gamma"], params["norm1"][i]["beta"])
+        y = ffn_apply(params["ffn"][i], x, x_mask, kernel_size=kernel_size, causal=True,
+                      p_dropout=p_dropout, rng=rng)
+        x = layer_norm(x + y, params["norm2"][i]["gamma"], params["norm2"][i]["beta"])
+    return x * x_mask
+
+
+# ---------------------------------------------------------------------------
 # FFT block — causal self-attention flow core (attentions.py:396-454).
 # ---------------------------------------------------------------------------
 
