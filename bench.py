@@ -110,6 +110,22 @@ def bench_torch_cpu_baseline():
 
 
 def main():
+    # watchdog: a wedged device/tunnel must not hang the caller forever
+    import signal
+
+    def _on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "audio_seconds_per_second_per_chip",
+            "value": 0.0,
+            "unit": "audio-s/s",
+            "vs_baseline": 0.0,
+            "error": "bench timed out (device or tunnel unresponsive)",
+        }))
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1200")))
+
     ours, elapsed = bench_jax()
     baseline = bench_torch_cpu_baseline()
     vs = round(ours / baseline, 2) if baseline else 0.0

@@ -84,6 +84,10 @@ class Model:
 
             if self.vocoder_type == "vocos":
                 self.vocoder_config = voc.VocosConfig(**self.config.get("vocoder_config", {}))
+            elif self.vocoder_type == "bigvgan":
+                from .models import bigvgan as bv
+
+                self.vocoder_config = bv.BigVGANConfig(**self.config.get("vocoder_config", {}))
             elif "vocoder_config" in self.config:
                 self.vocoder_config = vits2.VITS2Config(**self.config["vocoder_config"])
             else:
@@ -193,6 +197,10 @@ class Synth:
                 mel = out["mel"]
                 if vtype == "vocos":
                     wav = voc.vocos_apply(params["vocoder"], vcfg, mel)
+                elif vtype == "bigvgan":
+                    from .models import bigvgan as bv
+
+                    wav = bv.bigvgan_apply(params["vocoder"], vcfg, mel)
                 else:
                     wav = voc.hifigan_apply(params["vocoder"], mel, vcfg)
                 return wav, out["mel_lengths"]

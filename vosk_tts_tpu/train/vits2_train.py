@@ -70,8 +70,9 @@ def make_optimizer(tcfg: TrainConfig):
     )
 
 
-def init_train_state(key, mcfg: vits2.VITS2Config, tcfg: TrainConfig):
-    kg, kd, kdur = jax.random.split(key, 3)
+def init_train_state(key, mcfg: vits2.VITS2Config, tcfg: TrainConfig,
+                     slm_hidden: int = 768, slm_layers: int = 13, slm_initial: int = 64):
+    kg, kd, kdur, kwd = jax.random.split(key, 4)
     params_g = vits2.synthesizer_init(kg, mcfg)
     params_d = D.mpmsd_init(kd)
     params_dur = (
@@ -90,6 +91,10 @@ def init_train_state(key, mcfg: vits2.VITS2Config, tcfg: TrainConfig):
     if params_dur is not None:
         state["params_dur"] = params_dur
         state["opt_dur"] = opt.init(params_dur)
+    if tcfg.use_slm:
+        params_wd = D.wavlm_disc_init(kwd, slm_hidden, slm_layers, slm_initial)
+        state["params_wd"] = params_wd
+        state["opt_wd"] = opt.init(params_wd)
     return state
 
 
@@ -108,14 +113,29 @@ def set_lr(state, lr):
     return out
 
 
-def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_scale: float = 0.0):
+def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_scale: float = 0.0,
+                    slm=None):
     """Returns jit-able ``step(state, batch, rng) -> (state, metrics)``.
 
     batch: x (B,Tx) int32, x_lengths (B,), mel (B,Tf,n_mel), mel_lengths (B,),
     wav (B,Ts), sid (B,). ``use_mel_posterior_encoder`` semantics: the
     posterior consumes the mel directly (train_ms.py:81-88,351-356).
+
+    ``slm``: optional dict {"params": frozen WavLM pytree, "cfg": WavLMConfig}
+    enabling the WavLM/SLM loss branch (train_ms.py:397-406,441-444); the
+    state must then also carry params_wd/opt_wd (init_train_state with
+    tcfg.use_slm=True).
     """
     opt = make_optimizer(tcfg)
+    if slm is not None:
+        from ..models.wavlm import stacked_hidden_states, wavlm_apply
+        from ..ops.resample import resample
+
+        slm_params, slm_cfg = slm["params"], slm["cfg"]
+
+        def slm_states(wav):
+            w16 = resample(wav, tcfg.sampling_rate, 16000)
+            return wavlm_apply(slm_params, slm_cfg, w16)
     seg_frames = mcfg.segment_size
     seg_samples = seg_frames * tcfg.hop_length
 
@@ -161,6 +181,22 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
         params_d = optax.apply_updates(state["params_d"], d_updates)
         metrics["loss_disc"] = d_loss
 
+        # ---- WavLM/SLM discriminator update (train_ms.py:397-406) -------
+        params_wd, opt_wd = state.get("params_wd"), state.get("opt_wd")
+        if slm is not None and params_wd is not None:
+            hs_real = jax.lax.stop_gradient(stacked_hidden_states(slm_states(y_real)))
+            hs_fake = jax.lax.stop_gradient(stacked_hidden_states(slm_states(y_hat)))
+
+            def wd_loss_fn(p):
+                dr = D.wavlm_disc_apply(p, hs_real)
+                dg = D.wavlm_disc_apply(p, hs_fake)
+                return jnp.mean((1 - dr) ** 2) + jnp.mean(dg**2)
+
+            wd_loss, wd_grads = jax.value_and_grad(wd_loss_fn)(params_wd)
+            wd_updates, opt_wd = opt.update(wd_grads, opt_wd, params_wd)
+            params_wd = optax.apply_updates(params_wd, wd_updates)
+            metrics["loss_slm_disc"] = wd_loss
+
         # ---- Duration discriminator update (train_ms.py:384-395) --------
         params_dur, opt_dur = state.get("params_dur"), state.get("opt_dur")
         if params_dur is not None:
@@ -203,6 +239,15 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
                 pr, pg = D.duration_disc_apply(params_dur, o["x"], out["x_mask"], o["logw_"], o["logw"])
                 loss_dur_gen, _ = L.generator_loss([pg])
                 total = total + loss_dur_gen
+            if slm is not None and params_wd is not None:
+                # loss_lm: per-layer L1 to the real embeddings (losses.py:111-118);
+                # loss_lm_gen: LSGAN against the (updated) SLM discriminator
+                hs_fake_g = slm_states(yh)
+                hs_real_ng = [jax.lax.stop_gradient(h) for h in slm_states(y_real)]
+                loss_lm = sum(jnp.mean(jnp.abs(hr - hf)) for hr, hf in zip(hs_real_ng, hs_fake_g))
+                dg = D.wavlm_disc_apply(params_wd, stacked_hidden_states(hs_fake_g))
+                loss_lm_gen = jnp.mean((1 - dg) ** 2)
+                total = total + loss_lm + loss_lm_gen
             return total, {
                 "loss_gen": loss_gen, "loss_fm": loss_fm, "loss_mel": loss_mel,
                 "loss_dur": loss_dur, "loss_kl": loss_kl, "loss_subband": loss_subband,
@@ -225,6 +270,9 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
         if params_dur is not None:
             new_state["params_dur"] = params_dur
             new_state["opt_dur"] = opt_dur
+        if params_wd is not None:
+            new_state["params_wd"] = params_wd
+            new_state["opt_wd"] = opt_wd
         return new_state, metrics
 
     return step
