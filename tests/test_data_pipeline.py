@@ -71,3 +71,35 @@ def test_host_sharding(corpus):
     x0 = [tuple(b["sid"]) for b in b0.epoch(0)]
     x1 = [tuple(b["sid"]) for b in b1.epoch(0)]
     assert len(x0) == len(x1) == n0
+
+
+def test_vc_dataset(tmp_path):
+    import jax
+    import wave as wave_mod
+    from vosk_tts_tpu.train.vc_data import VCDataConfig, VCDataset
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(3):
+        n = 16000
+        wav = (rng.standard_normal(n) * 2000).astype(np.int16)
+        p = tmp_path / f"u{i}.wav"
+        with wave_mod.open(str(p), "w") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(wav.tobytes())
+        # fake contentvec features at 50 Hz
+        np.save(str(p)[:-4] + ".cv.npy", rng.standard_normal((n // 320, 24)).astype(np.float32))
+        paths.append(str(p))
+    flist = tmp_path / "train.txt"
+    flist.write_text("\n".join(paths))
+
+    cfg = VCDataConfig(file_list=str(flist), max_speclen=16)
+    ds = VCDataset(cfg)
+    assert len(ds) == 3
+    batch = ds.collate([0, 1, 2], np.random.default_rng(1))
+    assert batch["c"].shape == (3, 16, 24)
+    assert batch["spec"].shape[1] == 16 and batch["spec"].shape[2] == 641
+    assert batch["wav"].shape == (3, 16 * 320)
+    assert np.isfinite(batch["spec"]).all()
