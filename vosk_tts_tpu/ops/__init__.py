@@ -49,9 +49,12 @@ from .attention import (
     ffn_apply,
     encoder_init,
     encoder_apply,
+    decoder_init,
+    decoder_apply,
     fft_init,
     fft_apply,
 )
+from .resample import resample
 from .flows import (
     log_flow,
     flip_flow,
