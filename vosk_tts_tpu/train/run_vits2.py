@@ -74,6 +74,28 @@ def build_configs(cfg: dict):
     return mcfg, tcfg, dcfg
 
 
+def _eval_to_tb(writer, state, mcfg, tcfg, batch, step):
+    """train_ms.py:542-600 evaluate equivalent: synthesize the first batch
+    utterance and log audio + mel image to TensorBoard."""
+    try:
+        import jax.numpy as jnp
+
+        from ..models import vits2 as V
+        from ..utils.plotting import plot_spectrogram_to_numpy
+
+        x = jnp.asarray(np.asarray(batch["x"])[:1])
+        xl = jnp.asarray(np.asarray(batch["x_lengths"])[:1])
+        sid = jnp.asarray(np.asarray(batch["sid"])[:1])
+        out = V.infer(jax.device_get(state["params_g"]), mcfg, x, xl, sid,
+                      rng=jax.random.PRNGKey(step), max_frames=1024)
+        wav = np.asarray(out["wav"])[0, : int(out["wav_lengths"][0]), 0]
+        writer.add_audio("eval/audio", wav[None, :], step, sample_rate=tcfg.sampling_rate)
+        writer.add_image("eval/attn", plot_spectrogram_to_numpy(np.asarray(out["attn"][0]).T),
+                         step, dataformats="HWC")
+    except Exception as e:  # eval must never kill training
+        log.warning("tb eval failed: %s", e)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--config", required=True)
@@ -85,6 +107,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    from ..utils.repro import check_git_hash
+
+    check_git_hash(args.model_dir)
     cfg = json.load(open(args.config))
     mcfg, tcfg, dcfg = build_configs(cfg)
     train_cfg = cfg["train"]
@@ -154,6 +179,8 @@ def main(argv=None):
                 ckpt.save_train_state(args.model_dir, "STATE", global_step,
                                       jax.device_get(state), extra={"epoch": epoch})
                 log.info("saved checkpoint at step %d", global_step)
+                if writer:
+                    _eval_to_tb(writer, state, mcfg, tcfg, batch, global_step)
         log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
 
     if host_id == 0:
