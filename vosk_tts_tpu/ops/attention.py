@@ -17,6 +17,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .commons import fused_gate, subsequent_mask
 from .conv import conv1d
@@ -94,6 +95,38 @@ def _absolute_to_relative(x: jax.Array) -> jax.Array:
     return x_flat.reshape(b, h, l, 2 * l)[:, :, :, 1:]
 
 
+def _band_to_full(rel: jax.Array, w: int, length: int) -> jax.Array:
+    """(B, H, L, 2w+1) banded values -> (B, H, L, L) matrix with
+    out[i, i+m-w] = rel[i, m]; zeros outside the band.
+
+    TPU-critical: the reference skew trick (attentions.py:238-252) pads the
+    (2w+1) table to (2L-1) first, making the rel-logit tensors O(L^2) — at
+    2048 frames that is ~1 GB of HBM traffic per flow layer. This keeps the
+    O(L·(2w+1)) band and expands via a single pad+reshape."""
+    b, h, l, k = rel.shape
+    pad = jnp.pad(rel, ((0, 0), (0, 0), (0, 0), (0, length + 1 - k)))
+    flat = pad.reshape(b, h, l * (length + 1))
+    flat = lax.dynamic_slice_in_dim(flat, w, l * length, axis=2)
+    full = flat.reshape(b, h, l, length)
+    i = lax.broadcasted_iota(jnp.int32, (l, length), 0)
+    j = lax.broadcasted_iota(jnp.int32, (l, length), 1)
+    return jnp.where(jnp.abs(i - j) <= w, full, 0.0)
+
+
+def _full_to_band(p: jax.Array, w: int) -> jax.Array:
+    """(B, H, L, L) -> (B, H, L, 2w+1) diagonal bands:
+    out[i, m] = p[i, i+m-w] (zeros where out of range)."""
+    b, h, l, _ = p.shape
+    k = 2 * w + 1
+    flat = p.reshape(b, h, l * l)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (w, l - w)))
+    band = flat.reshape(b, h, l, l + 1)[..., :k]
+    i = lax.broadcasted_iota(jnp.int32, (l, k), 0)
+    m = lax.broadcasted_iota(jnp.int32, (l, k), 1)
+    valid = (i + m - w >= 0) & (i + m - w < l)
+    return jnp.where(valid, band, 0.0)
+
+
 def _proximal_bias(length: int) -> jax.Array:
     r = jnp.arange(length, dtype=jnp.float32)
     diff = r[None, :] - r[:, None]
@@ -128,10 +161,16 @@ def mha_apply(
     v = v.reshape(b, t_s, n_heads, k_channels).transpose(0, 2, 1, 3)
 
     scores = jnp.einsum("bhtd,bhsd->bhts", q / math.sqrt(k_channels), k)
-    if window_size is not None:
+    # banded fast path: keep relative logits at O(L·(2w+1)) instead of
+    # padding the table to (2L-1) like the reference skew (attentions.py:222)
+    banded = window_size is not None and t_s >= 2 * window_size + 1
+    if window_size is not None and not banded:
         rel_k = _get_relative_embeddings(params["emb_rel_k"], t_s, window_size)
         rel_logits = jnp.einsum("bhld,hmd->bhlm", q / math.sqrt(k_channels), rel_k)
         scores = scores + _relative_to_absolute(rel_logits)
+    elif banded:
+        rel_band = jnp.einsum("bhld,hmd->bhlm", q / math.sqrt(k_channels), params["emb_rel_k"])
+        scores = scores + _band_to_full(rel_band, window_size, t_s)
     if proximal_bias:
         scores = scores + _proximal_bias(t_s)
     if attn_mask is not None:
@@ -139,10 +178,13 @@ def mha_apply(
     p_attn = jax.nn.softmax(scores, axis=-1)
     p_attn = _dropout(p_attn, p_dropout, rng)
     output = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
-    if window_size is not None:
+    if window_size is not None and not banded:
         rel_w = _absolute_to_relative(p_attn)
         rel_v = _get_relative_embeddings(params["emb_rel_v"], t_s, window_size)
         output = output + jnp.einsum("bhlm,hmd->bhld", rel_w, rel_v)
+    elif banded:
+        rel_w_band = _full_to_band(p_attn, window_size)
+        output = output + jnp.einsum("bhlm,hmd->bhld", rel_w_band, params["emb_rel_v"])
     output = output.transpose(0, 2, 1, 3).reshape(b, t_t, channels)
     return conv1d(output, params["o"]["w"], params["o"]["b"])
 
