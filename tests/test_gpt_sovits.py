@@ -130,6 +130,79 @@ def test_ar_infer_matches_reference_greedy(rng):
     np.testing.assert_array_equal(got[:k], ref_tokens[:k])
 
 
+def oracle_ar_utils():
+    import importlib
+
+    base = "/root/reference/training/gpt-sovits"
+    if base not in sys.path:
+        sys.path.insert(1, base)
+    return importlib.import_module("ar.models.utils")
+
+
+def test_dpo_loss_matches_reference(rng):
+    """dpo_loss + get_batch_logps golden vs ar/models/utils.py (deterministic
+    given logits, so the torch RNG in make_reject_y is not involved)."""
+    u = oracle_ar_utils()
+    b, t, v = 3, 6, 11
+    logits_a = rng.standard_normal((b, t, v)).astype(np.float32)
+    logits_r = rng.standard_normal((b, t, v)).astype(np.float32)
+    tgt_a = rng.integers(0, v, size=(b, t)).astype(np.int64)
+    tgt_r = rng.integers(0, v, size=(b, t)).astype(np.int64)
+
+    want_a, want_r = u.get_batch_logps(
+        torch.from_numpy(logits_a), torch.from_numpy(logits_r),
+        torch.from_numpy(tgt_a), torch.from_numpy(tgt_r),
+    )
+    want_loss, _, _ = u.dpo_loss(want_a, want_r, 0, 0, 0.2, reference_free=True)
+
+    got_a = G._batch_logps(jnp.asarray(logits_a), jnp.asarray(tgt_a))
+    got_r = G._batch_logps(jnp.asarray(logits_r), jnp.asarray(tgt_r))
+    np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_r), want_r.numpy(), rtol=1e-5)
+    got_loss = G.dpo_loss(got_a, got_r, beta=0.2)
+    np.testing.assert_allclose(float(got_loss), want_loss.item(), rtol=1e-5)
+
+
+def test_make_reject_y_semantics(rng):
+    """Each rejected row must equal the reference repeat_P construction
+    [y[:i1], y[i0:i1], y[i1:]] for the sampled (i0, i1)."""
+    b, t_y = 4, 9
+    y = rng.integers(1, 50, size=(b, t_y)).astype(np.int32)
+    key = jax.random.PRNGKey(7)
+    reject, reject_lens = G.make_reject_y(key, jnp.asarray(y), jnp.asarray([t_y] * b, jnp.int32))
+    reject, reject_lens = np.asarray(reject), np.asarray(reject_lens)
+    # recover the sampled endpoints exactly as make_reject_y draws them
+    idx = np.asarray(jax.random.randint(key, (b, 2), 0, t_y))
+    i0, i1 = idx.min(1), idx.max(1)
+    assert reject.shape == (b, 2 * t_y)
+    for r in range(b):
+        want = np.concatenate([y[r, : i1[r]], y[r, i0[r] : i1[r]], y[r, i1[r] :]])
+        assert reject_lens[r] == len(want) == t_y + (i1[r] - i0[r])
+        np.testing.assert_array_equal(reject[r, : reject_lens[r]], want)
+        assert (reject[r, reject_lens[r] :] == 0).all()
+
+
+def test_s1_dpo_step_smoke(rng):
+    from vosk_tts_tpu.train import gpt_sovits_train as T
+
+    cfg = small_cfg()
+    tcfg = T.S1TrainConfig(if_dpo=True, warmup_steps=1, total_steps=10)
+    state = T.init_s1_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(T.make_s1_step(cfg, tcfg))
+    batch = {
+        "x": jnp.asarray(rng.integers(0, cfg.phoneme_vocab_size, size=(2, 7)), jnp.int32),
+        "x_lengths": jnp.asarray([7, 5], jnp.int32),
+        "y": jnp.asarray(rng.integers(0, cfg.eos, size=(2, 9)), jnp.int32),
+        "y_lengths": jnp.asarray([9, 6], jnp.int32),
+        "bert": jnp.asarray(rng.standard_normal((2, 7, cfg.bert_dim)), jnp.float32),
+    }
+    before = state["params"]["predict"]["w"]
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))  # warmup lr is 0 at step 0
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(before), np.asarray(state["params"]["predict"]["w"]))
+
+
 def test_ar_infer_eos_handling(rng):
     cfg = small_cfg()
     params = G.ar_init(jax.random.PRNGKey(0), cfg)

@@ -138,9 +138,10 @@ def joint_mask(cfg, x_len: int, y_len: int, x_lens, y_lens=None):
     return jnp.where(mask, 0.0, -1e9)[:, None]  # (B, 1, T, T)
 
 
-def ar_forward_train(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
-    """CE-sum training loss (t2s_model.py forward_old :184-248, without DPO).
-    x_ids: (B, Tx); y_ids: (B, Ty) codes; bert: (B, Tx, bert_dim)."""
+def _ar_logits(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
+    """Shared teacher-forced pass (t2s_model.py make_input_data :84-144):
+    pad_y_eos, joint [x;y] causal-on-y transformer, predict head.
+    Returns (logits (B,Ty,V), targets (B,Ty))."""
     b, t_y = y_ids.shape
     y_mask = jnp.arange(t_y)[None, :] >= y_lens[:, None]
     codes = y_ids * (1 - y_mask.astype(y_ids.dtype))
@@ -156,7 +157,13 @@ def ar_forward_train(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
     for layer in params["layers"]:
         xy = _layer_full(layer, cfg, xy, bias)
     logits = xy[:, x_ids.shape[1] :] @ params["predict"]["w"]  # (B, Ty, V)
+    return logits, targets
 
+
+def ar_forward_train(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
+    """CE-sum training loss (t2s_model.py forward_old :184-248, without DPO).
+    x_ids: (B, Tx); y_ids: (B, Ty) codes; bert: (B, Tx, bert_dim)."""
+    logits, targets = _ar_logits(params, cfg, x_ids, x_lens, y_ids, y_lens, bert)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     # the reference sums CE over ALL positions (padded targets are EOS,
@@ -164,6 +171,74 @@ def ar_forward_train(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert):
     loss = -jnp.sum(tgt_logp)
     acc = jnp.mean(jnp.argmax(logits, -1) == targets)
     return loss, acc
+
+
+# ---------------------------------------------------------------------------
+# DPO training branch (t2s_model.py forward :145-182, ar/models/utils.py)
+# ---------------------------------------------------------------------------
+
+
+def make_reject_y(rng, y_ids, y_lens):
+    """Static-shape rejected-sample builder (ar/models/utils.py make_reject_y
+    :196-230). The reference duplicates a random span [i0, i1) of each padded
+    row: new_y = [y[:i1], y[i0:i1], y[i1:]] (its lost_P branch is dead code —
+    ``randint(0, 1)`` is always 0). Output position t therefore reads
+    y[t] for t < i1 and y[t - (i1-i0)] after, which we realize as one gather
+    into a (B, 2*Ty) buffer instead of per-row dynamic concatenation.
+
+    Returns (reject_y (B, 2*Ty), reject_lens = Ty + (i1-i0)) — the reference
+    samples span endpoints over the full padded length and reports the padded
+    length plus the span as the new length, which we match.
+    """
+    b, t_y = y_ids.shape
+    idx = jax.random.randint(rng, (b, 2), 0, t_y)
+    i0 = jnp.min(idx, axis=1)
+    i1 = jnp.max(idx, axis=1)
+    span = i1 - i0
+    pos = jnp.arange(2 * t_y)[None, :]
+    src = jnp.where(pos < i1[:, None], pos, pos - span[:, None])
+    src = jnp.clip(src, 0, t_y - 1)
+    reject_lens = t_y + span
+    reject = jnp.take_along_axis(
+        jnp.pad(y_ids, ((0, 0), (0, t_y))), src, axis=1
+    ) * (pos < reject_lens[:, None]).astype(y_ids.dtype)
+    return reject, reject_lens
+
+
+def dpo_loss(policy_chosen_logps, policy_rejected_logps, beta: float = 0.2):
+    """Reference-free DPO (ar/models/utils.py dpo_loss :164-181, called with
+    reference_free=True and beta=0.2 at t2s_model.py:179)."""
+    logits = policy_chosen_logps - policy_rejected_logps
+    return jnp.mean(-jax.nn.log_sigmoid(beta * logits))
+
+
+def _batch_logps(logits, targets):
+    """Sum of per-token target log-probs over the whole y region — the
+    reference's get_batch_logps (ar/models/utils.py :185-193) applies no
+    padding mask; padded targets are EOS and contribute too."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.sum(jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0], axis=-1)
+
+
+def ar_forward_train_dpo(params, cfg: ARConfig, x_ids, x_lens, y_ids, y_lens, bert, *, rng):
+    """DPO training forward (t2s_model.py forward :145-182): CE-sum on the
+    chosen continuation + reference-free DPO term against a synthetically
+    corrupted (span-duplicated) rejection. The reject pass runs on a 2*Ty
+    buffer so the whole step stays one static-shape jit."""
+    logits, targets = _ar_logits(params, cfg, x_ids, x_lens, y_ids, y_lens, bert)
+    tgt_logp = jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), targets[..., None], axis=-1
+    )[..., 0]
+    loss_1 = -jnp.sum(tgt_logp)
+    acc = jnp.mean(jnp.argmax(logits, -1) == targets)
+
+    reject_y, reject_lens = make_reject_y(rng, y_ids, y_lens)
+    r_logits, r_targets = _ar_logits(params, cfg, x_ids, x_lens, reject_y, reject_lens, bert)
+
+    a_logps = jnp.sum(tgt_logp, axis=-1)
+    r_logps = _batch_logps(r_logits, r_targets)
+    loss_2 = dpo_loss(a_logps, r_logps, beta=0.2)
+    return loss_1 + loss_2, acc
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,10 @@ class S1TrainConfig:
     total_steps: int = 300_000
     weight_decay: float = 0.01
     grad_clip: float = 1.0
+    # DPO branch (s1 config train.if_dpo; t2s_lightning_module.py:38). The
+    # reference halves batch_size when on (ar/data/data_module.py:45) — that
+    # is a data-driver concern, mirrored in tools/gpt_sovits docs.
+    if_dpo: bool = False
 
 
 def make_s1_optimizer(tcfg: S1TrainConfig):
@@ -52,6 +56,11 @@ def make_s1_step(mcfg: G.ARConfig, tcfg: S1TrainConfig):
 
     def step(state, batch, rng):
         def loss_fn(params):
+            if tcfg.if_dpo:
+                return G.ar_forward_train_dpo(
+                    params, mcfg, batch["x"], batch["x_lengths"], batch["y"],
+                    batch["y_lengths"], batch["bert"], rng=rng,
+                )
             loss, acc = G.ar_forward_train(
                 params, mcfg, batch["x"], batch["x_lengths"], batch["y"], batch["y_lengths"], batch["bert"]
             )
