@@ -7,9 +7,16 @@ Prints ONE JSON line:
 
 Method: the flagship inference graph (shipped mb_istft_vits2_multi
 architecture) is jitted at a fixed shape class (batch x text-bucket x
-frame-capacity) and timed over several iterations; throughput counts the
-full synthesized capacity (frames x 256 samples @ 22.05 kHz), which is what
-the graph actually computes regardless of predicted durations.
+frame-capacity); throughput counts the full synthesized capacity
+(frames x 256 samples @ 22.05 kHz), which is what the graph actually
+computes regardless of predicted durations.
+
+Timing: the axon relay adds ~25 ms fixed dispatch+sync overhead per program
+call and fetches outputs at ~50-100 MB/s, either of which swamps the real
+device time. So iterations run INSIDE one compiled program (lax.scan with an
+rng-carry data dependence), only a scalar crosses the tunnel, and the
+per-iteration time is the slope between two iteration counts (median of
+several runs) — see utils/profiling.device_timeit.
 
 Baseline: the same architecture, same shapes, run by the REFERENCE torch
 implementation on CPU (the reference's own deployment path is CPU/CUDA ONNX;
@@ -30,7 +37,6 @@ TEXT_LEN = 256
 MAX_FRAMES = 2048
 SAMPLE_RATE = 22050
 HOP = 256
-ITERS = 10
 DTYPE = "bfloat16"  # serving precision; correctness is gated at fp32 in tests
 BASELINE_CACHE = os.path.join(ROOT, ".bench_baseline.json")
 
@@ -48,26 +54,20 @@ def bench_jax():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
         )
 
-    @jax.jit
-    def run(params, x, x_lengths, sid, rng):
-        out = vits2.infer(params, cfg, x, x_lengths, sid, rng=rng, max_frames=MAX_FRAMES)
-        return out["wav"]
+    from vosk_tts_tpu.utils.profiling import device_timeit
 
     x = jnp.zeros((BATCH, TEXT_LEN), jnp.int32)
     x_lengths = jnp.full((BATCH,), TEXT_LEN, jnp.int32)
     sid = jnp.zeros((BATCH,), jnp.int32)
-    rng = jax.random.PRNGKey(1)
 
-    # compile + warm; sync via host fetch (block_until_ready is not a
-    # reliable barrier through the remote-TPU tunnel)
-    import numpy as np
+    def step(carry):
+        rng, acc = carry
+        rng, sub = jax.random.split(rng)
+        out = vits2.infer(params, cfg, x, x_lengths, sid, rng=sub, max_frames=MAX_FRAMES)
+        return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
 
-    np.asarray(run(params, x, x_lengths, sid, rng)[:, :8, 0])
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        wav = run(params, x, x_lengths, sid, jax.random.fold_in(rng, i))
-    np.asarray(wav[:, :8, 0])  # forces the whole in-order queue to drain
-    elapsed = (time.perf_counter() - t0) / ITERS
+    carry0 = (jax.random.PRNGKey(1), jnp.zeros((), jnp.float32))
+    elapsed, _, _ = device_timeit(step, carry0, n1=4, n2=16, reps=5)
 
     audio_seconds = BATCH * MAX_FRAMES * HOP / SAMPLE_RATE
     return audio_seconds / elapsed, elapsed

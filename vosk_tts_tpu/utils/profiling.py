@@ -66,6 +66,56 @@ class StageTimer:
         return out
 
 
+def device_timeit(fn, carry0, *, n1: int = 4, n2: int = 20, reps: int = 5):
+    """Per-iteration device time of ``fn`` (carry -> carry), measured honestly
+    through the remote-TPU tunnel.
+
+    The axon relay adds ~25 ms of fixed dispatch+sync overhead per program
+    call and transfers ~50-100 MB/s on output fetch, so host-side timing
+    loops and whole-array fetches both swamp real device time (a 4096^3
+    bf16 matmul is 0.7 ms on-device but ~160 ms if you fetch its output).
+    Method here:
+      * iterate ``fn`` N times INSIDE one jitted ``lax.scan`` (carry keeps a
+        data dependence so no iteration is dead);
+      * reduce the final carry to ONE scalar on device; only that crosses
+        the tunnel;
+      * run at two iteration counts n1 < n2 and take the slope
+        (t2 - t1)/(n2 - n1), median over ``reps``, cancelling the fixed
+        dispatch cost.
+
+    Returns (seconds_per_iteration, t_n1_median, t_n2_median).
+    """
+    import statistics
+
+    import jax.numpy as jnp
+
+    def make(n):
+        @jax.jit
+        def run(c):
+            def body(c, _):
+                return fn(c), ()
+
+            y, _ = jax.lax.scan(body, c, None, length=n)
+            leaves = jax.tree_util.tree_leaves(y)
+            return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+        return run
+
+    r1, r2 = make(n1), make(n2)
+    float(r1(carry0))
+    float(r2(carry0))
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(r1(carry0))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(r2(carry0))
+        t2s.append(time.perf_counter() - t0)
+    t1, t2 = statistics.median(t1s), statistics.median(t2s)
+    return (t2 - t1) / (n2 - n1), t1, t2
+
+
 def device_stats() -> list[dict]:
     out = []
     for d in jax.devices():
