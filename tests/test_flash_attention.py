@@ -1,0 +1,76 @@
+"""Banded flash attention (Pallas) vs the XLA rel-pos attention path.
+
+The kernel runs in interpreter mode here (CPU CI); on TPU the same code
+compiles via Mosaic. Parity target: the XLA banded path in ops/attention
+(itself golden-tested against the reference torch implementation)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vosk_tts_tpu.ops import attention as att
+from vosk_tts_tpu.ops import flash_attention as fa
+
+
+@pytest.fixture
+def interpret_flash(monkeypatch):
+    monkeypatch.setattr(fa, "INTERPRET", True)
+
+
+def _seq_mask(lengths, t):
+    return (np.arange(t)[None, :] < np.asarray(lengths)[:, None]).astype(np.float32)
+
+
+@pytest.mark.parametrize("lengths", [[256, 256], [256, 131], [97, 5]])
+def test_mha_flash_matches_xla(rng, interpret_flash, lengths):
+    b, t, ch, heads, w = len(lengths), 256, 64, 2, 4
+    params = att.mha_init(jax.random.PRNGKey(0), ch, ch, heads, window_size=w)
+    x = jnp.asarray(rng.standard_normal((b, t, ch)).astype(np.float32))
+    mask = jnp.asarray(_seq_mask(lengths, t))[..., None]  # (B,T,1)
+    x = x * mask
+    attn_mask = mask[:, None, :, 0][:, :, None, :] * mask[:, None, :, 0][:, :, :, None]
+    kv_len = jnp.asarray(lengths, jnp.int32)
+
+    want = att.mha_apply(params, x, x, attn_mask, n_heads=heads, window_size=w)
+    got = att.mha_apply(params, x, x, attn_mask, n_heads=heads, window_size=w,
+                        flash=True, kv_len=kv_len)
+    # compare only valid rows; invalid rows are masked downstream
+    np.testing.assert_allclose(np.asarray(got * mask), np.asarray(want * mask),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_encoder_flash_matches_xla(rng, interpret_flash):
+    b, t, ch, heads = 2, 128, 64, 2
+    params = att.encoder_init(jax.random.PRNGKey(1), ch, ch, heads, 2, 5)
+    x = jnp.asarray(rng.standard_normal((b, t, ch)).astype(np.float32))
+    mask = jnp.asarray(_seq_mask([128, 77], t))[..., None]
+
+    want = att.encoder_apply(params, x * mask, mask, n_heads=heads, kernel_size=5)
+    got = att.encoder_apply(params, x * mask, mask, n_heads=heads, kernel_size=5, flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=3e-5)
+
+
+def test_flow_reverse_flash_matches_xla(rng, interpret_flash):
+    from vosk_tts_tpu.models import vits2
+
+    cfg = vits2.VITS2Config(n_speakers=4)
+    params = vits2.synthesizer_init(jax.random.PRNGKey(2), cfg)
+    b, t = 2, 128
+    z = jnp.asarray(rng.standard_normal((b, t, cfg.inter_channels)).astype(np.float32))
+    mask = jnp.asarray(_seq_mask([128, 90], t))[..., None]
+    g = params["emb_g"][jnp.zeros((b,), jnp.int32)][:, None, :]
+
+    want = vits2.flow_block_apply(params["flow"], cfg, z * mask, mask, g, reverse=True)
+    got = vits2.flow_block_apply(params["flow"], cfg, z * mask, mask, g, reverse=True, flash=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_gate_falls_back_without_support(rng, interpret_flash):
+    """Odd T (not %128) must silently use the XLA path, not crash."""
+    b, t, ch, heads, w = 1, 100, 64, 2, 4
+    params = att.mha_init(jax.random.PRNGKey(3), ch, ch, heads, window_size=w)
+    x = jnp.asarray(rng.standard_normal((b, t, ch)).astype(np.float32))
+    out = att.mha_apply(params, x, x, None, n_heads=heads, window_size=w, flash=True)
+    assert out.shape == (b, t, ch)

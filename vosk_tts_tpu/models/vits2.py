@@ -167,7 +167,8 @@ def text_encoder_init(key, cfg: VITS2Config):
     }
 
 
-def text_encoder_apply(params, cfg: VITS2Config, x_ids, x_lengths, g=None, *, rng=None):
+def text_encoder_apply(params, cfg: VITS2Config, x_ids, x_lengths, g=None, *, rng=None,
+                       flash: bool = False):
     """x_ids: (B, T) int32 -> (x (B,T,H), m, logs, x_mask (B,T,1))."""
     h = cfg.hidden_channels
     x = params["emb"][x_ids] * math.sqrt(h)
@@ -175,7 +176,7 @@ def text_encoder_apply(params, cfg: VITS2Config, x_ids, x_lengths, g=None, *, rn
     x = att.encoder_apply(
         params["encoder"], x * x_mask, x_mask, g,
         n_heads=cfg.n_heads, kernel_size=cfg.kernel_size,
-        p_dropout=cfg.p_dropout if rng is not None else 0.0, rng=rng,
+        p_dropout=cfg.p_dropout if rng is not None else 0.0, rng=rng, flash=flash,
     )
     stats = conv1d(x, params["proj"]["w"], params["proj"]["b"]) * x_mask
     m, logs = stats[..., : cfg.inter_channels], stats[..., cfg.inter_channels :]
@@ -395,13 +396,13 @@ def _affine_half(x, m, logs, x_mask, reverse):
     return jnp.concatenate([x0, x1], axis=-1)
 
 
-def _flow_layer_apply(layer, cfg: VITS2Config, ftype: str, x, x_mask, g, reverse):
+def _flow_layer_apply(layer, cfg: VITS2Config, ftype: str, x, x_mask, g, reverse, flash=False):
     half = cfg.inter_channels // 2
     h = cfg.hidden_channels
     if ftype == "pre_conv":
         x0 = x[..., :half]
         x0_ = att.encoder_apply(layer["pre_transformer"], x0 * x_mask, x_mask,
-                                n_heads=2, kernel_size=3, window_size=None)
+                                n_heads=2, kernel_size=3, window_size=None, flash=flash)
         x0_ = x0_ + x0
         hid = conv1d(x0_, layer["pre"]["w"], layer["pre"]["b"]) * x_mask
         hid = wnops.wn_apply(layer["enc"], hid, x_mask, g, kernel_size=5, dilation_rate=1)
@@ -411,7 +412,7 @@ def _flow_layer_apply(layer, cfg: VITS2Config, ftype: str, x, x_mask, g, reverse
         x0 = x[..., :half]
         hid = conv1d(x0, layer["pre"]["w"], layer["pre"]["b"]) * x_mask
         hid = hid + att.encoder_apply(layer["pre_transformer"], hid * x_mask, x_mask,
-                                      n_heads=2, kernel_size=5, window_size=4)
+                                      n_heads=2, kernel_size=5, window_size=4, flash=flash)
         hid = wnops.wn_apply(layer["enc"], hid, x_mask, g, kernel_size=5, dilation_rate=1)
         m = conv1d(hid, layer["post"]["w"], layer["post"]["b"]) * x_mask
         return _affine_half(x, m, jnp.zeros_like(m), x_mask, reverse)
@@ -425,7 +426,7 @@ def _flow_layer_apply(layer, cfg: VITS2Config, ftype: str, x, x_mask, g, reverse
     raise ValueError(ftype)
 
 
-def _mono_layer_apply(layer, cfg: VITS2Config, x, x_mask, reverse, residual: bool):
+def _mono_layer_apply(layer, cfg: VITS2Config, x, x_mask, reverse, residual: bool, flash=False):
     """MonoTransformerFlowLayer (models.py:545-627), mean_only=True."""
     half = cfg.inter_channels // 2
     if not residual:
@@ -451,7 +452,7 @@ def _mono_layer_apply(layer, cfg: VITS2Config, x, x_mask, reverse, residual: boo
     return jnp.concatenate([x0, x1_], axis=-1)
 
 
-def flow_block_apply(params, cfg: VITS2Config, x, x_mask, g=None, reverse=False):
+def flow_block_apply(params, cfg: VITS2Config, x, x_mask, g=None, reverse=False, flash=False):
     ftype = cfg.transformer_flow_type if cfg.use_transformer_flows else "plain"
     layers = params["flows"]
 
@@ -464,22 +465,22 @@ def flow_block_apply(params, cfg: VITS2Config, x, x_mask, g=None, reverse=False)
                     x, _ = fl.residual_coupling_apply(layer["coupling"], x, x_mask, g,
                                                       kernel_size=5, dilation_rate=1, mean_only=True)
                 else:
-                    x = _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, False)
+                    x = _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, False, flash=flash)
                 x, _ = fl.flip_flow(x)
                 return x
             x = fl.flip_flow(x, reverse=True)
             if ftype == "plain":
                 return fl.residual_coupling_apply(layer["coupling"], x, x_mask, g, reverse=True,
                                                   kernel_size=5, dilation_rate=1, mean_only=True)
-            return _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, True)
+            return _flow_layer_apply(layer, cfg, ftype, x, x_mask, g, True, flash=flash)
         # mono variants: coupling, Flip, mono
         residual = ftype == "mono_layer_post_residual"
         if not reverse:
             x, _ = fl.residual_coupling_apply(layer["coupling"], x, x_mask, g,
                                               kernel_size=5, dilation_rate=1, mean_only=True)
             x, _ = fl.flip_flow(x)
-            return _mono_layer_apply(layer["mono"], cfg, x, x_mask, False, residual)
-        x = _mono_layer_apply(layer["mono"], cfg, x, x_mask, True, residual)
+            return _mono_layer_apply(layer["mono"], cfg, x, x_mask, False, residual, flash=flash)
+        x = _mono_layer_apply(layer["mono"], cfg, x, x_mask, True, residual, flash=flash)
         x = fl.flip_flow(x, reverse=True)
         return fl.residual_coupling_apply(layer["coupling"], x, x_mask, g, reverse=True,
                                           kernel_size=5, dilation_rate=1, mean_only=True)
@@ -649,7 +650,8 @@ def infer(
     g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
 
     x, m_p, logs_p, x_mask = text_encoder_apply(
-        params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None
+        params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None,
+        flash=True,
     )
     if cfg.use_sdp:
         logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dur, noise_scale=noise_scale_w)
@@ -667,7 +669,7 @@ def infer(
     logs_p = jnp.einsum("byt,btc->byc", attn, logs_p)
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
-    z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True)
+    z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
     wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
 
     up = cfg.upsample_factor
@@ -767,7 +769,7 @@ def voice_conversion(params, cfg: VITS2Config, y, y_lengths, sid_src, sid_tgt, *
     g_src = params["emb_g"][sid_src][:, None, :]
     g_tgt = params["emb_g"][sid_tgt][:, None, :]
     z, m_q, logs_q, y_mask = posterior_apply(params["enc_q"], cfg, y, y_lengths, g_src, rng=rng)
-    z_p = flow_block_apply(params["flow"], cfg, z, y_mask, g_src)
-    z_hat = flow_block_apply(params["flow"], cfg, z_p, y_mask, g_tgt, reverse=True)
+    z_p = flow_block_apply(params["flow"], cfg, z, y_mask, g_src, flash=True)
+    z_hat = flow_block_apply(params["flow"], cfg, z_p, y_mask, g_tgt, reverse=True, flash=True)
     o, o_mb = generator_apply(params["dec"], cfg, z_hat * y_mask, g_tgt)
     return o, y_mask

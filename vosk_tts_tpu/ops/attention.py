@@ -6,9 +6,12 @@ Channels-last functional modules matching training/vits2/attentions.py:
   injected before layer ``cond_layer_idx``), Decoder (:67-115), FFT flow block
   (:396-454, gin via fused tanh-sigmoid gate).
 
-Everything is dense matmul + pad/reshape — ideal MXU form. Sequence lengths
-here are short (phoneme counts ≤ ~400), so full T×T attention is cheap; no
-flash-attention needed at these sizes.
+Everything is dense matmul + pad/reshape. The banded rel-pos path has a
+Pallas flash kernel (ops/flash_attention.py) engaged via ``flash=True`` on
+TPU at serving lengths: the XLA band<->full conversions relayout O(T^2)
+tensors and cost ~30x the attention itself at 2048 frames. Inference paths
+pass flash=True; training keeps the XLA path (differentiable, and text
+lengths ≤ ~400 make it cheap there).
 """
 
 from __future__ import annotations
@@ -19,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import flash_attention as fa
 from .commons import fused_gate, subsequent_mask
 from .conv import conv1d
 from .norm import layer_norm
@@ -144,9 +148,20 @@ def mha_apply(
     proximal_bias: bool = False,
     p_dropout: float = 0.0,
     rng=None,
+    flash: bool = False,
+    kv_len: jax.Array | None = None,
 ) -> jax.Array:
     """x (query src): (B, Tt, C); c (key/value src): (B, Ts, C);
-    attn_mask: broadcastable to (B, 1|H, Tt, Ts)."""
+    attn_mask: broadcastable to (B, 1|H, Tt, Ts).
+
+    ``flash=True`` routes banded self-attention through the Pallas kernel
+    (ops/flash_attention.py) when the backend/shape support it — the XLA
+    banded path materializes O(T^2) relayouts and is ~30x slower at serving
+    lengths. ``kv_len`` (B,) gives the valid key prefix (defaults to Ts);
+    callers must pass it when sequences are padded. The kernel path assumes
+    the sequence-mask structure of ``attn_mask`` (valid prefix per batch row)
+    rather than reading the mask itself.
+    """
     b, t_t, channels = x.shape
     t_s = c.shape[1]
     k_channels = channels // n_heads
@@ -159,6 +174,26 @@ def mha_apply(
     q = q.reshape(b, t_t, n_heads, k_channels).transpose(0, 2, 1, 3)
     k = k.reshape(b, t_s, n_heads, k_channels).transpose(0, 2, 1, 3)
     v = v.reshape(b, t_s, n_heads, k_channels).transpose(0, 2, 1, 3)
+
+    use_flash = (
+        flash
+        and window_size is not None
+        and x is c
+        and not proximal_bias
+        and (rng is None or p_dropout <= 0.0)
+        and fa.supported(t_t, t_s, window_size, x.dtype)
+        and (jax.default_backend() == "tpu" or fa.INTERPRET)
+    )
+    if use_flash:
+        qs = q * (k_channels**-0.5)
+        band = jnp.einsum("bhld,hmd->bhlm", qs, params["emb_rel_k"])
+        if kv_len is None:
+            kv_len = jnp.full((b,), t_s, jnp.int32)
+        out, bp = fa.banded_flash_attention(qs, k, v, band, kv_len,
+                                            window=window_size, interpret=fa.INTERPRET)
+        out = out + jnp.einsum("bhlm,hmd->bhld", bp, params["emb_rel_v"])
+        out = out.transpose(0, 2, 1, 3).reshape(b, t_t, channels)
+        return conv1d(out, params["o"]["w"], params["o"]["b"])
 
     scores = jnp.einsum("bhtd,bhsd->bhts", q / math.sqrt(k_channels), k)
     # banded fast path: keep relative logits at O(L·(2w+1)) instead of
@@ -245,9 +280,11 @@ def encoder_init(key, hidden: int, filter_ch: int, n_heads: int, n_layers: int, 
 
 
 def encoder_apply(params, x, x_mask, g=None, *, n_heads: int, kernel_size: int,
-                  window_size: int = 4, cond_layer_idx: int = 2, p_dropout: float = 0.0, rng=None):
+                  window_size: int = 4, cond_layer_idx: int = 2, p_dropout: float = 0.0, rng=None,
+                  flash: bool = False):
     """attentions.py:49-65. x: (B, T, H); x_mask: (B, T, 1); g: (B, 1, gin)."""
     attn_mask = x_mask[:, None, :, 0][:, :, None, :] * x_mask[:, None, :, 0][:, :, :, None]
+    kv_len = jnp.sum(x_mask[..., 0].astype(jnp.int32), axis=1) if flash else None
     x = x * x_mask
     n_layers = len(params["attn"])
     for i in range(n_layers):
@@ -256,7 +293,8 @@ def encoder_apply(params, x, x_mask, g=None, *, n_heads: int, kernel_size: int,
             x = (x + gp) * x_mask
         rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
         y = mha_apply(params["attn"][i], x, x, attn_mask, n_heads=n_heads,
-                      window_size=window_size, p_dropout=p_dropout, rng=rngs[0])
+                      window_size=window_size, p_dropout=p_dropout, rng=rngs[0],
+                      flash=flash, kv_len=kv_len)
         y = _dropout(y, p_dropout, rngs[1])
         x = layer_norm(x + y, params["norm1"][i]["gamma"], params["norm1"][i]["beta"])
         y = ffn_apply(params["ffn"][i], x, x_mask, kernel_size=kernel_size, p_dropout=p_dropout, rng=rngs[2])
