@@ -200,28 +200,28 @@ def mpd_apply(params, y, y_hat):
     return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
-def mpmsd_init(key):
+def mpmsd_init(key, periods=PERIODS, spec_ffts=SPEC_FFTS):
     """MultiPeriodMultiSpecDiscriminator (models.py:1420-1452) — the one
-    train_ms.py uses."""
-    keys = jax.random.split(key, 1 + len(PERIODS) + len(SPEC_FFTS))
+    train_ms.py uses. periods/spec_ffts shrinkable for dryrun/smoke configs."""
+    keys = jax.random.split(key, 1 + len(periods) + len(spec_ffts))
     return {
         "s": disc_s_init(keys[0]),
-        "p": [disc_p_init(keys[1 + i]) for i in range(len(PERIODS))],
-        "spec": [disc_spec_init(keys[1 + len(PERIODS) + i], n) for i, n in enumerate(SPEC_FFTS)],
+        "p": [disc_p_init(keys[1 + i]) for i in range(len(periods))],
+        "spec": [disc_spec_init(keys[1 + len(periods) + i], n) for i, n in enumerate(spec_ffts)],
     }
 
 
-def mpmsd_apply(params, y, y_hat):
+def mpmsd_apply(params, y, y_hat, periods=PERIODS, spec_ffts=SPEC_FFTS):
     y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
     for wav, outs, fmaps in ((y, y_d_rs, fmap_rs), (y_hat, y_d_gs, fmap_gs)):
         o, f = disc_s_apply(params["s"], wav)
         outs.append(o)
         fmaps.append(f)
-        for p, pp in zip(PERIODS, params["p"]):
+        for p, pp in zip(periods, params["p"]):
             o, f = disc_p_apply(pp, wav, p)
             outs.append(o)
             fmaps.append(f)
-        for n_fft, sp in zip(SPEC_FFTS, params["spec"]):
+        for n_fft, sp in zip(spec_ffts, params["spec"]):
             o, f = disc_spec_apply(sp, wav, n_fft)
             outs.append(o)
             fmaps.append(f)

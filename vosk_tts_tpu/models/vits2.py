@@ -80,6 +80,10 @@ class VITS2Config:
     use_noise_scaled_mas: bool = False
     mas_noise_scale_initial: float = 0.01
     noise_scale_delta: float = 2e-6
+    # structural depth knobs (reference defaults; shrinkable for dryrun/smoke)
+    n_flows: int = 4  # coupling steps in the flow block (models.py:1621 n_flows=4)
+    posterior_wn_layers: int = 16  # PosteriorEncoder WN depth (models.py:1614)
+    sdp_n_flows: int = 4  # SDP duration-flow count (models.py:30-38)
 
     @property
     def enc_gin_channels(self) -> int:
@@ -188,7 +192,9 @@ def text_encoder_apply(params, cfg: VITS2Config, x_ids, x_lengths, g=None, *, rn
 # ---------------------------------------------------------------------------
 
 
-def sdp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int = 3, n_flows: int = 4):
+def sdp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int = 3, n_flows: int | None = None):
+    if n_flows is None:
+        n_flows = cfg.sdp_n_flows
     keys = jax.random.split(key, 10 + 2 * n_flows + 8)
     ki = iter(range(len(keys)))
     fc = filter_channels
@@ -202,7 +208,7 @@ def sdp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int
         "post_proj": _conv_init(keys[next(ki)], 1, fc, fc),
         "post_convs": wnops.ddsconv_init(keys[next(ki)], fc, kernel_size, 3),
         "post_flows": [fl.elementwise_affine_init(2)]
-        + [fl.convflow_init(keys[next(ki)], 2, fc, kernel_size, 3) for _ in range(4)],
+        + [fl.convflow_init(keys[next(ki)], 2, fc, kernel_size, 3) for _ in range(n_flows)],
     }
     if cfg.gin_channels:
         p["cond"] = _conv_init(keys[next(ki)], 1, cfg.gin_channels, fc)
@@ -320,7 +326,7 @@ def posterior_init(key, cfg: VITS2Config):
     h = cfg.hidden_channels
     return {
         "pre": _conv_init(k1, 1, cfg.spec_channels, h),
-        "enc": wnops.wn_init(k2, h, 5, 1, 16, cfg.gin_channels),
+        "enc": wnops.wn_init(k2, h, 5, 1, cfg.posterior_wn_layers, cfg.gin_channels),
         "proj": _conv_init(k3, 1, h, cfg.inter_channels * 2),
     }
 
@@ -341,7 +347,9 @@ def posterior_apply(params, cfg: VITS2Config, y, y_lengths, g=None, *, rng):
 # ---------------------------------------------------------------------------
 
 
-def flow_block_init(key, cfg: VITS2Config, n_flows: int = 4):
+def flow_block_init(key, cfg: VITS2Config, n_flows: int | None = None):
+    if n_flows is None:
+        n_flows = cfg.n_flows
     c, h = cfg.inter_channels, cfg.hidden_channels
     half = c // 2
     ftype = cfg.transformer_flow_type if cfg.use_transformer_flows else "plain"

@@ -113,14 +113,19 @@ def g2p_multistream(
     *,
     word_pos: bool = True,
     pause_markers: bool = False,
+    aligned: bool = False,
 ):
     """synth.py:273-454 (g2p_multistream / g2p_multistream_scales).
 
     Returns (stream_tuples, per-phone bert rows or None, extra durations or
     None). ``pause_markers`` enables the '_' pause symbol handling of the
-    _scales variant (multistream_v3).
+    _scales variant (multistream_v3). ``aligned`` switches the word expansion
+    to pre-aligned underscore-joined phones (the training-time
+    text_to_sequence_aligned of matcha/text/__init__.py:241-335 — same walk,
+    words already phonemized).
     """
     splitter = _MS_SPLIT_PAUSES if pause_markers else _MS_SPLIT
+    text = text.replace("\n", " ")
     text = text.replace(" -", "- ")  # unify dash with other punctuation
 
     phonemes = [("^", [], 0, 0)]  # (symbol, punctuation list, in_quote, bert word)
@@ -144,7 +149,7 @@ def g2p_multistream(
             phonemes.append((" ", cur_punc, in_quote, bert_word))
             cur_punc = []
             continue
-        phones = word_phones(word, dic)
+        phones = word.split("_") if aligned else word_phones(word, dic)
         if word_pos:
             phones = add_word_positions(phones)
         for p in phones:

@@ -59,6 +59,9 @@ class TrainConfig:
     win_lengths: Sequence[int] = (150, 300, 60)
     use_dur_disc: bool = True
     use_slm: bool = False
+    # discriminator shape (reference defaults; shrinkable for dryrun/smoke)
+    disc_periods: Sequence[int] = D.PERIODS
+    disc_spec_ffts: Sequence[int] = D.SPEC_FFTS
 
 
 def make_optimizer(tcfg: TrainConfig):
@@ -74,7 +77,7 @@ def init_train_state(key, mcfg: vits2.VITS2Config, tcfg: TrainConfig,
                      slm_hidden: int = 768, slm_layers: int = 13, slm_initial: int = 64):
     kg, kd, kdur, kwd = jax.random.split(key, 4)
     params_g = vits2.synthesizer_init(kg, mcfg)
-    params_d = D.mpmsd_init(kd)
+    params_d = D.mpmsd_init(kd, periods=tuple(tcfg.disc_periods), spec_ffts=tuple(tcfg.disc_spec_ffts))
     params_dur = (
         D.duration_disc_init(kdur, mcfg.hidden_channels, mcfg.hidden_channels, 3, variant=2)
         if tcfg.use_dur_disc
@@ -138,6 +141,8 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
             return wavlm_apply(slm_params, slm_cfg, w16)
     seg_frames = mcfg.segment_size
     seg_samples = seg_frames * tcfg.hop_length
+    periods = tuple(tcfg.disc_periods)
+    spec_ffts = tuple(tcfg.disc_spec_ffts)
 
     def mel_of(wav):
         return mel_spectrogram(
@@ -171,7 +176,8 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
 
         # ---- Discriminator update (train_ms.py:377-412) ------------------
         def d_loss_fn(params_d):
-            yr, yg, _, _ = D.mpmsd_apply(params_d, y_real, jax.lax.stop_gradient(y_hat))
+            yr, yg, _, _ = D.mpmsd_apply(params_d, y_real, jax.lax.stop_gradient(y_hat),
+                                         periods=periods, spec_ffts=spec_ffts)
             loss_disc, _, _ = L.discriminator_loss(yr, yg)
             loss_tprls = L.discriminator_tprls_loss(yr, yg)
             return loss_disc + loss_tprls
@@ -219,7 +225,8 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
         def g_loss_fn(o):
             yh = o["wav"][..., 0]
             yh_mel = mel_of(yh)
-            yr_, yg_, fmap_r, fmap_g = D.mpmsd_apply(params_d, y_real, yh)
+            yr_, yg_, fmap_r, fmap_g = D.mpmsd_apply(params_d, y_real, yh,
+                                                     periods=periods, spec_ffts=spec_ffts)
             loss_gen, _ = L.generator_loss(yg_)
             loss_gen_tprls = L.generator_tprls_loss(yr_, yg_)
             loss_fm = L.feature_loss(fmap_r, fmap_g)
