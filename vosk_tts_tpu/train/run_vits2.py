@@ -120,29 +120,27 @@ def main(argv=None):
 
     n_hosts = jax.process_count()
     host_id = jax.process_index()
-    mesh = M.make_mesh()
+    mesh = M.data_mesh_for_batch(batch_size)
 
     dataset = TTSDataset(dcfg)
     batcher = BucketBatcher(dataset, batch_size, host_id=host_id, num_hosts=n_hosts)
     log.info("dataset: %d utts, %d batches/epoch", len(dataset), batcher.num_batches())
 
-    state = None
     start_epoch = 0
-    resume = ckpt.load_train_state(args.model_dir, "STATE")
+    state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg)
+    resume = ckpt.load_full_state(args.model_dir, "STATE", state)
     if resume is not None:
-        state = resume["params"]
-        start_epoch = resume["meta"].get("epoch", 0)
-        log.info("resumed from step %s epoch %d", resume["meta"].get("step"), start_epoch)
-    else:
-        state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg)
-        if args.finetune:
-            pre = ckpt.load_train_state(args.finetune, "STATE")
-            if pre is None:
-                raise FileNotFoundError(f"no pretrained STATE_* in {args.finetune}")
-            for k in ("params_g", "params_d", "params_dur"):
-                if k in pre["params"]:
-                    state[k] = pre["params"][k]
-            log.info("finetuning from %s", args.finetune)
+        state, meta = resume
+        start_epoch = meta.get("epoch", 0)
+        log.info("resumed from step %s epoch %d", meta.get("step"), start_epoch)
+    elif args.finetune:
+        pre = ckpt.load_full_state(args.finetune, "STATE", state)
+        if pre is None:
+            raise FileNotFoundError(f"no pretrained STATE_* in {args.finetune}")
+        for k in ("params_g", "params_d", "params_dur"):
+            if k in pre[0]:
+                state[k] = pre[0][k]
+        log.info("finetuning from %s", args.finetune)
 
     state = M.replicate_params(mesh, state)
     freeze_dur = bool(args.finetune)  # train_finetune.py:239-241
@@ -176,16 +174,21 @@ def main(argv=None):
                         writer.add_scalar(f"train/{k}", v, global_step)
                     writer.add_scalar("train/lr", T.lr_at_epoch(tcfg, epoch), global_step)
             if host_id == 0 and global_step % save_interval == 0:
-                ckpt.save_train_state(args.model_dir, "STATE", global_step,
-                                      jax.device_get(state), extra={"epoch": epoch})
+                ckpt.save_full_state(args.model_dir, "STATE", global_step,
+                                     jax.device_get(state), extra={"epoch": epoch})
+                # named params_g stream for export/eval tooling (G_*.pth analogue)
+                ckpt.save_train_state(args.model_dir, "G", global_step,
+                                      jax.device_get(state["params_g"]))
                 log.info("saved checkpoint at step %d", global_step)
                 if writer:
                     _eval_to_tb(writer, state, mcfg, tcfg, batch, global_step)
         log.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
 
     if host_id == 0:
-        ckpt.save_train_state(args.model_dir, "STATE", global_step,
-                              jax.device_get(state), extra={"epoch": epochs})
+        ckpt.save_full_state(args.model_dir, "STATE", global_step,
+                             jax.device_get(state), extra={"epoch": epochs})
+        ckpt.save_train_state(args.model_dir, "G", global_step,
+                              jax.device_get(state["params_g"]))
 
 
 if __name__ == "__main__":

@@ -90,6 +90,51 @@ def load_params(path: str):
         return _unflatten({k: data[k] for k in data.files})
 
 
+def save_leaves(path: str, tree) -> None:
+    """Positional-leaf serialization for arbitrary pytrees (optax states
+    contain namedtuples and empty nodes the named format can't round-trip).
+    Restore with ``load_leaves`` against a structurally identical template."""
+    leaves = jax.tree.leaves(jax.device_get(tree))
+    np.savez(path, **{f"l{i:06d}": np.asarray(v) for i, v in enumerate(leaves)})
+
+
+def load_leaves(path: str, template):
+    treedef = jax.tree.structure(template)
+    with np.load(path, allow_pickle=False) as data:
+        n = len(data.files)
+        if n != treedef.num_leaves:
+            raise ValueError(f"{path}: {n} leaves, template needs {treedef.num_leaves}")
+        leaves = [data[f"l{i:06d}"] for i in range(n)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def save_full_state(dirname: str, tag: str, step: int, state, extra: dict | None = None):
+    """Full train state (params + optimizer namedtuples + step) for resume."""
+    os.makedirs(dirname, exist_ok=True)
+    save_leaves(os.path.join(dirname, f"{tag}_{step}.npz"), state)
+    with open(os.path.join(dirname, f"{tag}_{step}.meta.json"), "w") as f:
+        json.dump({"step": step, **(extra or {})}, f)
+
+
+def load_full_state(dirname: str, tag: str, template, step: int | None = None):
+    """Latest (or given-step) full train state restored into ``template``'s
+    structure. Returns (state, meta) or None."""
+    if step is None:
+        path = latest_checkpoint(dirname, prefix=f"{tag}_")
+        if path is None:
+            return None
+    else:
+        path = os.path.join(dirname, f"{tag}_{step}.npz")
+        if not os.path.exists(path):
+            return None
+    state = load_leaves(path, template)
+    base = path[: -len(".npz")]
+    meta = {}
+    if os.path.exists(base + ".meta.json"):
+        meta = json.load(open(base + ".meta.json"))
+    return state, meta
+
+
 def latest_checkpoint(dirname: str, prefix: str = "G_") -> str | None:
     """Newest ``{prefix}*.npz`` by step number (utils.py:77 equivalent)."""
     best, best_step = None, -1
