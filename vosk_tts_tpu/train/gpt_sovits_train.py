@@ -84,9 +84,16 @@ class S2TrainConfig(TrainConfig):
     hop_length: int = 640
     win_length: int = 2048
     c_commit: float = 1.0
+    # RVQ EMA buffers (module/quantize.py:44-50 defaults)
+    vq_decay: float = 0.99
+    vq_epsilon: float = 1e-5
+    vq_threshold_ema_dead_code: float = 2.0
+    vq_kmeans_iters: int = 50
 
 
 def init_s2_state(key, mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
+    from ..ops import rvq
+
     kg, kd = jax.random.split(key)
     params_g = G.sovits_init(kg, mcfg)
     params_d = D.mpd_init(kd)
@@ -97,12 +104,19 @@ def init_s2_state(key, mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
         "params_d": params_d,
         "opt_g": opt.init(params_g),
         "opt_d": opt.init(params_d),
+        # EMA-owned codebook buffers (core_vq.py kmeans_init=True: zero embed,
+        # inited on the first batch); params_g["codebook"] mirrors vq["embed"]
+        "vq": rvq.state_init(mcfg.n_codes, mcfg.ssl_dim),
     }
 
 
 def make_s2_step(mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
+    from ..ops import rvq
+    from ..ops.conv import conv1d
+
     opt = make_optimizer(tcfg)
     seg_samples = mcfg.segment_size * tcfg.hop_length
+    ssl_stride = 2 if mcfg.semantic_frame_rate == "25hz" else 1
 
     def mel_of(wav):
         return mel_spectrogram(wav, tcfg.filter_length, tcfg.n_mel_channels, tcfg.sampling_rate,
@@ -111,6 +125,21 @@ def make_s2_step(mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
     def step(state, batch, rng):
         """batch: ssl (B,Ts,768), spec (B,Tf,F), spec_lengths, text,
         text_lengths, wav (B, Tf*hop)."""
+        rng, r_vq = jax.random.split(rng)
+
+        # RVQ buffer transition (core_vq.py training forward): kmeans-init the
+        # codebook on the first batch, then quantize with it in the graph and
+        # EMA-update afterwards. The codebook is a buffer, not a gradient
+        # parameter — params_g["codebook"] mirrors vq["embed"].
+        proj = state["params_g"]["ssl_proj"]
+        x_ssl = jax.lax.stop_gradient(
+            conv1d(batch["ssl"], proj["w"], proj["b"], stride=ssl_stride, padding=0)
+        )
+        flat = x_ssl.reshape(-1, x_ssl.shape[-1])
+        r_init, r_ema = jax.random.split(r_vq)
+        vq = rvq.maybe_kmeans_init(state["vq"], flat, r_init,
+                                   kmeans_iters=tcfg.vq_kmeans_iters)
+        state = {**state, "params_g": {**state["params_g"], "codebook": vq["embed"]}}
 
         def fwd(params_g):
             out = G.sovits_forward_train(
@@ -152,9 +181,16 @@ def make_s2_step(mcfg: G.SoVITSConfig, tcfg: S2TrainConfig):
         g_updates, opt_g = opt.update(g_grads, state["opt_g"], state["params_g"])
         params_g = optax.apply_updates(state["params_g"], g_updates)
 
+        # EMA codebook update with the pre-update features; the EMA result
+        # overrides whatever the (zero-grad) optimizer did to the mirror
+        vq = rvq.ema_step(vq, flat, r_ema, decay=tcfg.vq_decay,
+                          epsilon=tcfg.vq_epsilon,
+                          threshold_ema_dead_code=tcfg.vq_threshold_ema_dead_code)
+        params_g = {**params_g, "codebook": vq["embed"]}
+
         return (
             {"step": state["step"] + 1, "params_g": params_g, "params_d": params_d,
-             "opt_g": opt_g, "opt_d": opt_d},
+             "opt_g": opt_g, "opt_d": opt_d, "vq": vq},
             {"loss_disc": d_loss, "loss_gen_all": g_loss, **g_metrics},
         )
 
