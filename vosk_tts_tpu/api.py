@@ -128,6 +128,93 @@ def audio_float_to_int16(audio: np.ndarray, max_wav_value: float = 32767.0) -> n
     return np.clip(audio * max_wav_value, -max_wav_value, max_wav_value).astype("int16")
 
 
+# ---------------------------------------------------------------------------
+# Shared encode/runner builders (used by Synth and serving/batcher)
+# ---------------------------------------------------------------------------
+
+
+def word_bert(model: Model, text: str, nopunc: bool = False):
+    """One 768-d vector per word via the converted ruBERT
+    (reference synth.py:25-44: drop '##'-subwords, optionally punctuation)."""
+    enc = model.tokenizer.encode(text.replace("+", "").replace("_", ""))
+    hs = model.bert(enc.ids, enc.attention_mask, enc.type_ids)
+    layer = model.config.get("bert_layer", -3)
+    vectors = hs[layer]  # (T, H)
+    pattern = re.compile('[-,.?!;:"]')
+    selected = [
+        i for i, tok in enumerate(enc.tokens)
+        if tok[0] != "#" and not (nopunc and pattern.match(tok))
+    ]
+    return vectors[selected]
+
+
+def encode_plain(model: Model, text: str) -> list:
+    """Text -> phoneme id sequence for plain vits2 bundles (synth.py:152-221)."""
+    cfg = model.config
+    flat_map = {k: (v[0] if isinstance(v, list) else v) for k, v in cfg["phoneme_id_map"].items()}
+    blank = not cfg.get("no_blank", 0)
+    ids, _ = g2p_plain(text, model.dic, flat_map, None, blank=blank)
+    return ids
+
+
+def encode_multistream(model: Model, text: str):
+    """Text -> (tuples (T,5) int, bert rows (T,768) or None, extras or None)
+    for multistream_v1/v2/v3 bundles (synth.py:273-454)."""
+    id_map = {k: (v[0] if isinstance(v, list) else v) for k, v in model.config["phoneme_id_map"].items()}
+    bert_rows = word_bert(model, text.lower(), nopunc=True) if model.bert is not None else None
+    pause = model.model_type == "multistream_v3"
+    return g2p_multistream(
+        text, model.dic, id_map, bert_rows,
+        word_pos=model.model_type != "multistream_v1", pause_markers=pause,
+    )
+
+
+def make_vits2_runner(model: Model, max_frames: int):
+    """Jitted batched VITS2 inference; per-item scale vectors shaped (B,1,1)
+    broadcast over each utterance independently."""
+    cfg = model.model_config
+
+    @jax.jit
+    def run(params, x, x_lengths, sid, rng, noise, inv_rate, dur_noise):
+        return vits2.infer(
+            params, cfg, x, x_lengths, sid, rng=rng, max_frames=max_frames,
+            noise_scale=noise, length_scale=inv_rate, noise_scale_w=dur_noise,
+        )
+
+    return run
+
+
+def make_multistream_runner(model: Model, max_frames: int, n_timesteps: int):
+    """Jitted batched StableTTS/Matcha acoustic + vocoder inference."""
+    from .models import stabletts
+    from .models import vocoder as voc
+
+    cfg = model.model_config
+    vtype = model.vocoder_type
+    vcfg = model.vocoder_config
+
+    @jax.jit
+    def run(params, x, x_lengths, sid, bert, pde, rng, temperature, length_scale, dp_temperature):
+        out = stabletts.synthesise(
+            params["matcha"], cfg, x, x_lengths, sid, bert, rng=rng,
+            max_frames=max_frames, n_timesteps=n_timesteps,
+            temperature=temperature, length_scale=length_scale,
+            phone_duration_extra=pde,
+        )
+        mel = out["mel"]
+        if vtype == "vocos":
+            wav = voc.vocos_apply(params["vocoder"], vcfg, mel)
+        elif vtype == "bigvgan":
+            from .models import bigvgan as bv
+
+            wav = bv.bigvgan_apply(params["vocoder"], vcfg, mel)
+        else:
+            wav = voc.hifigan_apply(params["vocoder"], mel, vcfg)
+        return wav, out["mel_lengths"]
+
+    return run
+
+
 class Synth:
     def __init__(self, model: Model):
         self.model = model
@@ -138,87 +225,26 @@ class Synth:
     def _jit_infer(self, text_bucket: int, max_frames: int):
         key = (text_bucket, max_frames)
         if key not in self._infer_cache:
-            cfg = self.model.model_config
-
-            @partial(jax.jit, static_argnames=())
-            def run(params, x, x_lengths, sid, rng, noise_scale, length_scale, noise_scale_w):
-                return vits2.infer(
-                    params, cfg, x, x_lengths, sid, rng=rng, max_frames=max_frames,
-                    noise_scale=noise_scale, length_scale=length_scale, noise_scale_w=noise_scale_w,
-                )
-
-            self._infer_cache[key] = run
+            self._infer_cache[key] = make_vits2_runner(self.model, max_frames)
         return self._infer_cache[key]
 
     def _encode(self, text: str):
         """Text -> phoneme id sequence (plain vits2 bundles)."""
-        cfg = self.model.config
-        id_map = cfg["phoneme_id_map"]
-        flat_map = {k: (v[0] if isinstance(v, list) else v) for k, v in id_map.items()}
-        if cfg.get("no_blank", 0):
-            ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=False)
-        else:
-            ids, _ = g2p_plain(text, self.model.dic, flat_map, None, blank=True)
-        return ids
+        return encode_plain(self.model, text)
 
     def get_word_bert(self, text: str, nopunc: bool = False):
-        """One 768-d vector per word via the converted ruBERT
-        (reference synth.py:25-44: drop '##'-subwords, optionally punctuation)."""
-        enc = self.model.tokenizer.encode(text.replace("+", "").replace("_", ""))
-        hs = self.model.bert(enc.ids, enc.attention_mask, enc.type_ids)
-        layer = self.model.config.get("bert_layer", -3)
-        vectors = hs[layer]  # (T, H)
-        pattern = re.compile('[-,.?!;:"]')
-        selected = [
-            i for i, tok in enumerate(enc.tokens)
-            if tok[0] != "#" and not (nopunc and pattern.match(tok))
-        ]
-        return vectors[selected]
+        return word_bert(self.model, text, nopunc)
 
     # ------------------------------------------------------------------
     def _jit_multistream(self, text_bucket: int, max_frames: int, n_timesteps: int):
         key = ("ms", text_bucket, max_frames, n_timesteps)
         if key not in self._infer_cache:
-            from .models import stabletts
-            from .models import vocoder as voc
-
-            cfg = self.model.model_config
-            vtype = self.model.vocoder_type
-            vcfg = self.model.vocoder_config
-
-            @jax.jit
-            def run(params, x, x_lengths, sid, bert, pde, rng, temperature, length_scale, dp_temperature):
-                out = stabletts.synthesise(
-                    params["matcha"], cfg, x, x_lengths, sid, bert, rng=rng,
-                    max_frames=max_frames, n_timesteps=n_timesteps,
-                    temperature=temperature, length_scale=length_scale,
-                    phone_duration_extra=pde,
-                )
-                mel = out["mel"]
-                if vtype == "vocos":
-                    wav = voc.vocos_apply(params["vocoder"], vcfg, mel)
-                elif vtype == "bigvgan":
-                    from .models import bigvgan as bv
-
-                    wav = bv.bigvgan_apply(params["vocoder"], vcfg, mel)
-                else:
-                    wav = voc.hifigan_apply(params["vocoder"], mel, vcfg)
-                return wav, out["mel_lengths"]
-
-            self._infer_cache[key] = run
+            self._infer_cache[key] = make_multistream_runner(self.model, max_frames, n_timesteps)
         return self._infer_cache[key]
 
     def _synth_multistream(self, text, speaker_id, noise_level, speech_rate, duration_noise_level):
         cfg = self.model.config
-        id_map = {k: (v[0] if isinstance(v, list) else v) for k, v in cfg["phoneme_id_map"].items()}
-        bert_rows = None
-        if self.model.bert is not None:
-            bert_rows = self.get_word_bert(text.lower(), nopunc=True)
-        pause = self.model.model_type == "multistream_v3"
-        tuples, embs, extras = g2p_multistream(
-            text, self.model.dic, id_map, bert_rows,
-            word_pos=self.model.model_type != "multistream_v1", pause_markers=pause,
-        )
+        tuples, embs, extras = encode_multistream(self.model, text)
         t = len(tuples)
         bucket = next((b for b in TEXT_BUCKETS if b >= t), TEXT_BUCKETS[-1])
         x = np.zeros((1, 5, bucket), np.int32)

@@ -1,10 +1,16 @@
-"""Dynamic request batcher — pod-batched synthesis.
+"""Dynamic request batcher — pod-batched synthesis for EVERY model type.
 
 The reference server runs one utterance at a time per thread over a single
-ONNX session (server/tts_server.py:37-54). On TPU, throughput comes from
+ONNX session (server/tts_server.py:37-54) and serves every model type through
+``synth.synth_audio`` (tts_server.py:53). On TPU, throughput comes from
 batching: concurrent requests are collected for up to ``max_wait_ms``,
 grouped into one padded batch per text-length bucket, and synthesized in a
 single jitted call. Each caller gets its own trimmed waveform back.
+
+Per-request scalars (speech_rate / noise / duration-noise) ride as (B,1,1)
+vectors so co-batched requests keep their own knobs — a request at rate 2.0
+batched with one at 1.0 comes back twice as fast, not at its neighbour's
+rate.
 """
 
 from __future__ import annotations
@@ -20,18 +26,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import api
 from ..api import TEXT_BUCKETS, FRAMES_PER_TOKEN, audio_float_to_int16
-from ..models import vits2
 
 
 @dataclass
 class _Item:
-    ids: list
+    # plain bundles: ids; multistream bundles: tuples/bert/extras
+    ids: list | None
+    tuples: np.ndarray | None
+    bert: np.ndarray | None
+    extras: np.ndarray | None
     sid: int
     speech_rate: float
     noise_level: float
     duration_noise_level: float
     future: Future = field(default_factory=Future)
+
+    @property
+    def length(self) -> int:
+        return len(self.ids) if self.ids is not None else len(self.tuples)
 
 
 class BatchSynthesizer:
@@ -39,6 +53,7 @@ class BatchSynthesizer:
 
     def __init__(self, model, max_batch: int = 8, max_wait_ms: float = 5.0):
         self.model = model
+        self.multistream = model.model_type in api.MULTISTREAM_TYPES
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
@@ -49,8 +64,34 @@ class BatchSynthesizer:
         self._thread.start()
 
     # ------------------------------------------------------------------
+    def submit_text(self, text: str, sid=0, speech_rate=None, noise_level=None,
+                    duration_noise_level=None) -> Future:
+        """Encode per the bundle's model_type (the synth_audio dispatch,
+        reference synth.py:64-103) and queue for batched synthesis."""
+        inference = self.model.config.get("inference", {})
+        speech_rate = inference.get("speech_rate", 1.0) if speech_rate in (None, 0.0) else speech_rate
+        noise_level = inference.get("noise_level", 0.8) if noise_level is None else noise_level
+        duration_noise_level = (
+            inference.get("duration_noise_level", 0.8)
+            if duration_noise_level is None else duration_noise_level
+        )
+        if self.multistream:
+            tuples, embs, extras = api.encode_multistream(self.model, text)
+            item = _Item(None, np.asarray(tuples, np.int32),
+                         None if embs is None else np.asarray(embs, np.float32),
+                         None if extras is None else np.asarray(extras, np.float32),
+                         int(sid or 0), speech_rate, noise_level, duration_noise_level)
+        else:
+            ids = api.encode_plain(self.model, text)
+            item = _Item(list(ids), None, None, None, int(sid or 0),
+                         speech_rate, noise_level, duration_noise_level)
+        self._q.put(item)
+        return item.future
+
     def submit(self, ids, sid=0, speech_rate=1.0, noise_level=0.8, duration_noise_level=0.8) -> Future:
-        item = _Item(list(ids), int(sid or 0), speech_rate, noise_level, duration_noise_level)
+        """Pre-encoded plain-id submission (kept for direct callers)."""
+        item = _Item(list(ids), None, None, None, int(sid or 0),
+                     speech_rate, noise_level, duration_noise_level)
         self._q.put(item)
         return item.future
 
@@ -59,21 +100,15 @@ class BatchSynthesizer:
         self._thread.join(timeout=5)
 
     # ------------------------------------------------------------------
-    def _jit(self, bucket: int, batch: int):
-        key = (bucket, batch)
-        if key not in self._cache:
-            cfg = self.model.model_config
-            max_frames = bucket * FRAMES_PER_TOKEN
-
-            @jax.jit
-            def run(params, x, x_lengths, sid, rng, noise, inv_rate, dur_noise):
-                return vits2.infer(
-                    params, cfg, x, x_lengths, sid, rng=rng, max_frames=max_frames,
-                    noise_scale=noise, length_scale=inv_rate, noise_scale_w=dur_noise,
-                )
-
-            self._cache[key] = run
-        return self._cache[key]
+    def _runner(self, bucket: int):
+        if bucket not in self._cache:
+            if self.multistream:
+                max_frames = min(bucket * 48, 4096)
+                n_timesteps = int(self.model.config.get("inference", {}).get("n_timesteps", 10))
+                self._cache[bucket] = api.make_multistream_runner(self.model, max_frames, n_timesteps)
+            else:
+                self._cache[bucket] = api.make_vits2_runner(self.model, bucket * FRAMES_PER_TOKEN)
+        return self._cache[bucket]
 
     def _loop(self):
         while not self._stop.is_set():
@@ -98,35 +133,70 @@ class BatchSynthesizer:
                     if not it.future.done():
                         it.future.set_exception(e)
 
-    def _run_batch(self, items):
-        longest = max(len(it.ids) for it in items)
+    # ------------------------------------------------------------------
+    def _batch_geometry(self, items):
+        longest = max(it.length for it in items)
         bucket = next((b for b in TEXT_BUCKETS if b >= longest), TEXT_BUCKETS[-1])
-        # pad batch size to a small set of classes to bound compilations
         bsz = 1
-        while bsz < len(items):
+        while bsz < len(items):  # batch-size classes bound compilations
             bsz *= 2
-        bsz = min(bsz, self.max_batch)
+        return bucket, min(max(bsz, len(items)), max(self.max_batch, len(items)))
 
-        x = np.zeros((bsz, bucket), np.int32)
-        x_lengths = np.zeros((bsz,), np.int32)
-        sid = np.zeros((bsz,), np.int32)
+    def _scales(self, items, bsz):
+        """Per-item scalar knobs as (B,1,1) device vectors."""
+        noise = np.full((bsz, 1, 1), 0.8, np.float32)
+        inv_rate = np.ones((bsz, 1, 1), np.float32)
+        dur_noise = np.full((bsz, 1, 1), 0.8, np.float32)
         for i, it in enumerate(items):
-            ids = it.ids[:bucket]
-            x[i, : len(ids)] = ids
-            x_lengths[i] = len(ids)
-            sid[i] = it.sid
-        x_lengths[len(items) :] = 1
+            noise[i] = it.noise_level
+            inv_rate[i] = 1.0 / it.speech_rate
+            dur_noise[i] = it.duration_noise_level
+        return jnp.asarray(noise), jnp.asarray(inv_rate), jnp.asarray(dur_noise)
 
-        # scalar knobs are per-batch on device; rate is the first item's
-        # (requests with wildly different rates rarely co-batch in practice)
-        it0 = items[0]
-        run = self._jit(bucket, bsz)
+    def _run_batch(self, items):
+        bucket, bsz = self._batch_geometry(items)
+        run = self._runner(bucket)
         self._rng, rng = jax.random.split(self._rng)
-        out = run(
-            self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid), rng,
-            jnp.float32(it0.noise_level), jnp.float32(1.0 / it0.speech_rate), jnp.float32(it0.duration_noise_level),
-        )
-        wavs = np.asarray(out["wav"])[..., 0]
-        lengths = np.asarray(out["wav_lengths"])
+        noise, inv_rate, dur_noise = self._scales(items, bsz)
+
+        if self.multistream:
+            bert_dim = self.model.model_config.bert_dim
+            x = np.zeros((bsz, 5, bucket), np.int32)
+            x_lengths = np.ones((bsz,), np.int32)
+            sid = np.zeros((bsz,), np.int32)
+            bert = np.zeros((bsz, bucket, bert_dim), np.float32)
+            pde = np.zeros((bsz, bucket), np.float32)
+            for i, it in enumerate(items):
+                t = min(len(it.tuples), bucket)
+                x[i, :, :t] = it.tuples[:t].T
+                x_lengths[i] = t
+                sid[i] = it.sid
+                if it.bert is not None:
+                    bert[i, :t] = it.bert[:t]
+                if it.extras is not None:
+                    pde[i, :t] = it.extras[:t]
+            wav, mel_lengths = run(
+                self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid),
+                jnp.asarray(bert), jnp.asarray(pde), rng, noise, inv_rate, dur_noise,
+            )
+            hop = self.model.config.get("hop_length", 256)
+            wavs = np.asarray(wav)
+            lengths = np.asarray(mel_lengths) * hop
+        else:
+            x = np.zeros((bsz, bucket), np.int32)
+            x_lengths = np.ones((bsz,), np.int32)
+            sid = np.zeros((bsz,), np.int32)
+            for i, it in enumerate(items):
+                ids = it.ids[:bucket]
+                x[i, : len(ids)] = ids
+                x_lengths[i] = len(ids)
+                sid[i] = it.sid
+            out = run(
+                self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid),
+                rng, noise, inv_rate, dur_noise,
+            )
+            wavs = np.asarray(out["wav"])[..., 0]
+            lengths = np.asarray(out["wav_lengths"])
+
         for i, it in enumerate(items):
             it.future.set_result(audio_float_to_int16(wavs[i, : lengths[i]]))

@@ -25,7 +25,7 @@ import grpc
 from . import proto
 from .batcher import BatchSynthesizer
 from ..api import Model
-from ..text import g2p_plain
+
 
 CHUNK_SECONDS = 0.5
 
@@ -41,25 +41,20 @@ class SynthesizerServicer:
     def __init__(self, model: Model, max_batch: int = 8):
         self.model = model
         self.batcher = BatchSynthesizer(model, max_batch=max_batch)
-        flat = {k: (v[0] if isinstance(v, list) else v) for k, v in model.config["phoneme_id_map"].items()}
-        self._id_map = flat
-
-    def _encode(self, text: str):
-        text = re.sub("—", "-", text.strip())
-        blank = not self.model.config.get("no_blank", 0)
-        ids, _ = g2p_plain(text, self.model.dic, self._id_map, None, blank=blank)
-        return ids
 
     def UtteranceSynthesis(self, request, context):
-        speaker_id, speech_rate = 0, 1.0
+        """Serves EVERY bundle model_type (plain vits2 and multistream_v1/2/3)
+        via the batcher's synth_audio-equivalent dispatch
+        (reference tts_server.py:42-54)."""
+        speaker_id, speech_rate = 0, None
         for hint in request.hints:
             if hint.WhichOneof("Hint") == "speaker_id":
                 speaker_id = hint.speaker_id
             elif hint.WhichOneof("Hint") == "speech_rate":
                 speech_rate = hint.speech_rate
 
-        ids = self._encode(request.text)
-        audio = self.batcher.submit(ids, sid=speaker_id, speech_rate=speech_rate).result()
+        text = re.sub("—", "-", request.text.strip())
+        audio = self.batcher.submit_text(text, sid=speaker_id, speech_rate=speech_rate).result()
 
         spec = request.output_audio_spec
         want_wav = (
