@@ -245,3 +245,88 @@ def test_sovits_stage2_smoke(rng):
                                  jnp.asarray([9], jnp.int32), rng=jax.random.PRNGKey(2))
     assert np.isfinite(float(out["commit_loss"]))
     assert np.isfinite(np.asarray(out["wav"])).all()
+
+
+# ---------------------------------------------------------------------------
+# SoVITS decode golden vs module/models.py:961-988 (VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+
+def oracle_sovits():
+    import importlib
+
+    base = "/root/reference/training/gpt-sovits"
+    if oracle._SHIM in sys.path:
+        sys.path.remove(oracle._SHIM)
+    sys.path.insert(0, oracle._SHIM)
+    if base not in sys.path:
+        sys.path.insert(1, base)
+    return importlib.import_module("module.models")
+
+
+def _sovits_pair():
+    from vosk_tts_tpu.utils import torch_params as TP
+
+    cfg = G.SoVITSConfig(
+        spec_channels=65, inter_channels=32, hidden_channels=32, filter_channels=64,
+        n_heads=2, n_layers=4, kernel_size=3, upsample_initial_channel=64,
+        upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16), gin_channels=32,
+        ssl_dim=16, n_codes=20, n_symbols=30, mrte_hidden=32, style_hidden=16,
+        segment_size=8,
+    )
+    mm = oracle_sovits()
+    torch.manual_seed(0)
+    net = mm.SynthesizerTrn(
+        cfg.spec_channels, cfg.segment_size, cfg.inter_channels, cfg.hidden_channels,
+        cfg.filter_channels, cfg.n_heads, cfg.n_layers, cfg.kernel_size, 0.0,
+        "1", [3, 7, 11], [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        list(cfg.upsample_rates), cfg.upsample_initial_channel,
+        list(cfg.upsample_kernel_sizes), n_speakers=0, gin_channels=cfg.gin_channels,
+        semantic_frame_rate="25hz",
+    )
+    # the reference hardcodes ssl_dim=768, bins=1024, len(symbols), MRTE dims
+    # and MelStyleEncoder hidden 128 — rebuild at the tiny geometry
+    import torch.nn as nn
+    from module.quantize import ResidualVectorQuantizer
+    from module.mrte_model import MRTE
+    from module import modules as ref_modules
+
+    torch.manual_seed(1)
+    net.ssl_proj = nn.Conv1d(cfg.ssl_dim, cfg.ssl_dim, 2, stride=2)
+    net.quantizer = ResidualVectorQuantizer(dimension=cfg.ssl_dim, n_q=1, bins=cfg.n_codes)
+    net.enc_p.ssl_proj = nn.Conv1d(cfg.ssl_dim, cfg.hidden_channels, 1)
+    net.enc_p.text_embedding = nn.Embedding(cfg.n_symbols, cfg.hidden_channels)
+    net.enc_p.mrte = MRTE(content_enc_channels=cfg.hidden_channels,
+                          hidden_size=cfg.mrte_hidden, out_channels=cfg.hidden_channels,
+                          n_heads=4)
+    net.ref_enc = ref_modules.MelStyleEncoder(cfg.spec_channels,
+                                              style_hidden=cfg.style_hidden,
+                                              style_vector_dim=cfg.gin_channels)
+    net.eval()
+    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    params = TP.sovits_from_state_dict(sd, cfg)
+    return net, params, cfg
+
+
+def test_sovits_decode_parity(rng, monkeypatch):
+    """Waveform-allclose vs module/models.py decode (noise determinized)."""
+    net, params, cfg = _sovits_pair()
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+
+    codes = rng.integers(0, cfg.n_codes, size=(1, 12)).astype(np.int64)
+    text = rng.integers(0, cfg.n_symbols, size=(1, 9)).astype(np.int64)
+    refer = rng.standard_normal((1, 30, cfg.spec_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        o_ref = net.decode(torch.from_numpy(codes)[None],  # (n_q=1, B, T)
+                           torch.from_numpy(text),
+                           torch.from_numpy(refer.transpose(0, 2, 1)))
+    got = np.asarray(G.sovits_decode(
+        params, cfg, jnp.asarray(codes, jnp.int32), jnp.asarray(text, jnp.int32),
+        jnp.asarray([9], jnp.int32), jnp.asarray(refer), jnp.asarray([30], jnp.int32),
+        rng=jax.random.PRNGKey(0)))
+    want = o_ref[:, 0].numpy()
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_allclose(got[:, :n], want[:, :n], rtol=1e-3, atol=5e-4)

@@ -129,9 +129,9 @@ def test_quickvc_infer_smoke(rng):
     c = rng.standard_normal((1, 40, 24)).astype(np.float32)
     tgt_mel = rng.standard_normal((1, 200, 80)).astype(np.float32)
     wav = Q.infer(params, cfg, jnp.asarray(c), jnp.asarray(tgt_mel), rng=jax.random.PRNGKey(1))
-    # trunk: T=40 -> 5T+1=201 (k16/s5/p5) -> 804 (k16/s4/p6); +1 reflect pad;
-    # istft hop 4: (805-1)*4=3216 per subband; x4 subbands = 12864 samples
-    assert wav.shape[0] == 1 and wav.shape[1] == 12864
+    # quickvc ConvTranspose scheme (padding=(k-u+1-i)//2, output_padding=1-i):
+    # T=40 -> 200 -> 800; istft hop 4 + 4 subbands -> exactly T*320 samples
+    assert wav.shape[0] == 1 and wav.shape[1] == 12800
     assert np.isfinite(np.asarray(wav)).all()
 
     out = Q.forward_train(params, cfg, jnp.asarray(c),
@@ -139,3 +139,113 @@ def test_quickvc_infer_smoke(rng):
                           jnp.asarray(rng.standard_normal((1, 40, 80)).astype(np.float32)),
                           rng=jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out["wav"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Full QuickVC graph vs reference vc/models.py (VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+
+def _zero_noise(monkeypatch):
+    monkeypatch.setattr(torch, "randn", lambda *s, **k: torch.zeros(
+        *s, **{kk: vv for kk, vv in k.items() if kk in ("device", "dtype")}))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.zeros_like(x))
+    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.zeros(*s))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0: jnp.zeros(shape, dtype))
+
+
+def _quickvc_pair():
+    """Reference SynthesizerTrn (tiny) + converted params + config."""
+    from vosk_tts_tpu.models import quickvc as Q
+    from vosk_tts_tpu.utils import torch_params as TP
+
+    cfg = Q.QuickVCConfig(
+        spec_channels=65, segment_size=8, inter_channels=32, hidden_channels=32,
+        ssl_dim=24, gin_channels=16, upsample_rates=(5, 4),
+        upsample_initial_channel=64, upsample_kernel_sizes=(16, 16),
+        n_mel_channels=20,
+    )
+    vc_models = oracle_vc()
+    torch.manual_seed(0)
+    net = vc_models.SynthesizerTrn(
+        cfg.spec_channels, cfg.segment_size, cfg.inter_channels, cfg.hidden_channels,
+        0, 0, 0, 0, 0,  # filter/heads/layers/kernel/dropout unused by vc graph
+        cfg.resblock, list(cfg.resblock_kernel_sizes),
+        [list(d) for d in cfg.resblock_dilation_sizes], list(cfg.upsample_rates),
+        cfg.upsample_initial_channel, list(cfg.upsample_kernel_sizes),
+        cfg.gen_istft_n_fft, cfg.gen_istft_hop_size,
+        gin_channels=cfg.gin_channels, ms_istft_vits=True, subbands=cfg.subbands,
+    )
+    # tiny speaker encoder over 20-mel (reference hardcodes mel_n_channels=80)
+    net.enc_spk = vc_models.SpeakerEncoder(
+        mel_n_channels=cfg.n_mel_channels, model_hidden_size=cfg.gin_channels,
+        model_embedding_size=cfg.gin_channels)
+    # the reference decoder hardcodes cond = Conv1d(256, 512, 1)
+    # (vc/models.py:456); rebuild at the tiny geometry
+    net.dec.cond = torch.nn.Conv1d(cfg.gin_channels, cfg.upsample_initial_channel, 1)
+    net.eval()
+    # the reference enc_p is hardcoded to 768-dim contentvec (vc/models.py:825);
+    # rebuild at ssl_dim for a tractable test
+    net.enc_p = type(net.enc_p)(cfg.ssl_dim, cfg.inter_channels, cfg.hidden_channels, 5, 1, 16)
+    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    params = TP.quickvc_from_state_dict(sd, cfg)
+    return net, params, cfg
+
+
+def test_quickvc_infer_parity(rng, monkeypatch):
+    """Waveform-allclose vs vc/models.py:862-872 (noise determinized)."""
+    from vosk_tts_tpu.models import quickvc as Q
+
+    net, params, cfg = _quickvc_pair()
+    _zero_noise(monkeypatch)
+
+    b, tc = 1, 20
+    c = rng.standard_normal((b, tc, cfg.ssl_dim)).astype(np.float32)
+    tgt_mel = rng.standard_normal((1, 200, cfg.n_mel_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        o_ref = net.infer(torch.from_numpy(c.transpose(0, 2, 1)),
+                          mel=torch.from_numpy(tgt_mel.transpose(0, 2, 1)))
+    got = np.asarray(Q.infer(params, cfg, jnp.asarray(c), jnp.asarray(tgt_mel),
+                             rng=jax.random.PRNGKey(0)))
+    want = o_ref[:, 0].numpy()
+    n = min(got.shape[1], want.shape[1])
+    np.testing.assert_allclose(got[:, :n], want[:, :n], rtol=1e-3, atol=2e-4)
+
+
+def test_quickvc_forward_train_parity(rng, monkeypatch):
+    """Training forward allclose vs vc/models.py:844-860: z/z_p/slice/wave."""
+    from vosk_tts_tpu.models import quickvc as Q
+
+    net, params, cfg = _quickvc_pair()
+    _zero_noise(monkeypatch)
+
+    b, tc = 2, 24
+    c = rng.standard_normal((b, tc, cfg.ssl_dim)).astype(np.float32)
+    spec = rng.standard_normal((b, tc, cfg.spec_channels)).astype(np.float32)
+    mel = rng.standard_normal((b, tc, cfg.n_mel_channels)).astype(np.float32)
+
+    with torch.no_grad():
+        o_ref, o_mb_ref, ids_ref, spec_mask_ref, (z, z_p, m_p, logs_p, m_q, logs_q) = net(
+            torch.from_numpy(c.transpose(0, 2, 1)),
+            torch.from_numpy(spec.transpose(0, 2, 1)),
+            mel=torch.from_numpy(mel.transpose(0, 2, 1)),
+        )
+
+    out = Q.forward_train(params, cfg, jnp.asarray(c), jnp.asarray(spec),
+                          jnp.asarray(mel), rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out["ids_slice"]), ids_ref.numpy())
+    np.testing.assert_allclose(np.asarray(out["z"]).transpose(0, 2, 1), z.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["z_p"]).transpose(0, 2, 1), z_p.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["m_p"]).transpose(0, 2, 1), m_p.numpy(),
+                               rtol=1e-3, atol=2e-4)
+    got_w = np.asarray(out["wav"])[..., 0]
+    want_w = o_ref[:, 0].numpy()
+    n = min(got_w.shape[1], want_w.shape[1])
+    np.testing.assert_allclose(got_w[:, :n], want_w[:, :n], rtol=1e-3, atol=5e-4)

@@ -64,6 +64,15 @@ class QuickVCConfig:
             upsample_rates=tuple(self.upsample_rates),
             upsample_initial_channel=self.upsample_initial_channel,
             upsample_kernel_sizes=tuple(self.upsample_kernel_sizes),
+            # QuickVC decoder ConvTranspose1d scheme (vc/models.py:429-430):
+            # padding=(k-u+1-i)//2, output_padding=1-i per layer
+            upsample_paddings=tuple(
+                (k - u + 1 - i) // 2
+                for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes))
+            ),
+            upsample_output_paddings=tuple(
+                1 - i for i in range(len(self.upsample_rates))
+            ),
             gen_istft_n_fft=self.gen_istft_n_fft,
             gen_istft_hop_size=self.gen_istft_hop_size,
             subbands=self.subbands,

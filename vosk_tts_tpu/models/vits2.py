@@ -66,6 +66,11 @@ class VITS2Config:
     upsample_rates: Sequence[int] = (4, 4)
     upsample_initial_channel: int = 512
     upsample_kernel_sizes: Sequence[int] = (16, 16)
+    # per-layer ConvTranspose1d (padding, output_padding); None -> the vits2
+    # scheme ((k-u)//2, 0). QuickVC's decoder uses ((k-u+1-i)//2, 1-i)
+    # (vc/models.py:429-430), threaded via QuickVCConfig.as_vits2.
+    upsample_paddings: Sequence[int] | None = None
+    upsample_output_paddings: Sequence[int] | None = None
     gen_istft_n_fft: int = 16
     gen_istft_hop_size: int = 4
     subbands: int = 4
@@ -565,7 +570,10 @@ def _generator_trunk(params, cfg: VITS2Config, x, g=None):
     resblock_apply = wnops.resblock1_apply if cfg.resblock == "1" else wnops.resblock2_apply
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
         x = leaky_relu(x)
-        x = conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"], stride=u, padding=(k - u) // 2)
+        pad = cfg.upsample_paddings[i] if cfg.upsample_paddings else (k - u) // 2
+        opad = cfg.upsample_output_paddings[i] if cfg.upsample_output_paddings else 0
+        x = conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"], stride=u,
+                             padding=pad, output_padding=opad)
         xs = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
             r = resblock_apply(params["resblocks"][i * n_kernels + j], x, None, kernel_size=rk, dilation=tuple(rd))

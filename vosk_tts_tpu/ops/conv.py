@@ -71,11 +71,13 @@ def conv_transpose1d(
     *,
     stride: int,
     padding: int = 0,
+    output_padding: int = 0,
 ) -> jax.Array:
-    """Transposed 1-D conv matching torch ConvTranspose1d(stride, padding).
+    """Transposed 1-D conv matching torch ConvTranspose1d(stride, padding,
+    output_padding).
 
     x: (B, T, C_in), w: (K, C_in, C_out)  [torch weight (C_in, C_out, K)
-    transposed to WIO]. Output length = (T-1)*stride - 2*padding + K.
+    transposed to WIO]. Output length = (T-1)*stride - 2*padding + K + op.
 
     Uses the subpixel decomposition when K % stride == 0 (the HiFiGAN case —
     reference models.py:855-858 uses K = 4*stride): one dense conv produces
@@ -84,14 +86,15 @@ def conv_transpose1d(
     input dilation (which would waste (stride-1)/stride of the MXU work).
     """
     k, c_in, c_out = w.shape
-    if k % stride == 0 and k >= stride:
+    if k % stride == 0 and k >= stride and output_padding == 0:
         return _subpixel_conv_transpose(x, w, b, stride=stride, padding=padding)
-    # General fallback: input-dilated convolution.
+    # General fallback: input-dilated convolution. output_padding extends the
+    # right edge (torch semantics: +op output samples).
     y = lax.conv_general_dilated(
         x,
         jnp.flip(w, 0),
         window_strides=(1,),
-        padding=((k - 1 - padding, k - 1 - padding),),
+        padding=((k - 1 - padding, k - 1 - padding + output_padding),),
         lhs_dilation=(stride,),
         dimension_numbers=DIMENSION_NUMBERS,
     )

@@ -238,6 +238,85 @@ def generator(sd, p, cfg):
     return out
 
 
+def posterior(sd, p, gin: bool):
+    """models.PosteriorEncoder (pre conv -> WN -> proj)."""
+    return {"pre": conv(sd, p + ".pre"), "enc": wn_module(sd, p + ".enc", gin), "proj": conv(sd, p + ".proj")}
+
+
+def lstm_stack(sd, p):
+    """torch.nn.LSTM -> list of per-layer gate matrices (quickvc layout)."""
+    layers = []
+    i = 0
+    while f"{p}.weight_ih_l{i}" in sd:
+        layers.append({
+            "w_ih": _np(sd[f"{p}.weight_ih_l{i}"]).T,
+            "w_hh": _np(sd[f"{p}.weight_hh_l{i}"]).T,
+            "b_ih": _np(sd[f"{p}.bias_ih_l{i}"]),
+            "b_hh": _np(sd[f"{p}.bias_hh_l{i}"]),
+        })
+        i += 1
+    return layers
+
+
+def quickvc_from_state_dict(sd: dict, cfg) -> dict:
+    """vc/models.py SynthesizerTrn state_dict -> models/quickvc.py pytree
+    (enc_p over contentvec, enc_q over spec, plain coupling flow, MS-iSTFT
+    decoder, LSTM speaker encoder)."""
+    sd = fold_weight_norm(sd)
+    return {
+        "enc_p": posterior(sd, "enc_p", False),
+        "enc_q": posterior(sd, "enc_q", True),
+        "flow": flow_block(sd, "flow", cfg.as_vits2()),
+        "dec": generator(sd, "dec", cfg.as_vits2()),
+        "enc_spk": {
+            "lstm": lstm_stack(sd, "enc_spk.lstm"),
+            "linear": linear(sd, "enc_spk.linear"),
+        },
+    }
+
+
+def sovits_from_state_dict(sd: dict, cfg) -> dict:
+    """GPT-SoVITS stage-2 SynthesizerTrn state_dict
+    (training/gpt-sovits/module/models.py:825-899) -> models/gpt_sovits
+    pytree: ssl_proj + RVQ codebook, MRTE TextEncoder, MelStyleEncoder,
+    coupling flow, HiFiGAN decoder."""
+    sd = fold_weight_norm(sd)
+    v = cfg.as_vits2()
+    return {
+        "ssl_proj": conv(sd, "ssl_proj"),
+        "codebook": _np(sd["quantizer.vq.layers.0._codebook.embed"]),
+        "enc_p": {
+            "ssl_proj": conv(sd, "enc_p.ssl_proj"),
+            "encoder_ssl": encoder(sd, "enc_p.encoder_ssl"),
+            "text_emb": _np(sd["enc_p.text_embedding.weight"]),
+            "encoder_text": encoder(sd, "enc_p.encoder_text"),
+            "mrte": {
+                "c_pre": conv(sd, "enc_p.mrte.c_pre"),
+                "text_pre": conv(sd, "enc_p.mrte.text_pre"),
+                "attn": mha(sd, "enc_p.mrte.cross_attention"),
+                "c_post": conv(sd, "enc_p.mrte.c_post"),
+            },
+            "encoder2": encoder(sd, "enc_p.encoder2"),
+            "proj": conv(sd, "enc_p.proj"),
+        },
+        "enc_q": posterior(sd, "enc_q", True),
+        "flow": flow_block(sd, "flow", v),
+        "dec": generator(sd, "dec", v),
+        "ref_enc": {
+            # MelStyleEncoder (module/modules.py:685-763)
+            "spec1": linear(sd, "ref_enc.spectral.0.fc"),
+            "spec2": linear(sd, "ref_enc.spectral.3.fc"),
+            "glu1": conv(sd, "ref_enc.temporal.0.conv1.conv"),
+            "glu2": conv(sd, "ref_enc.temporal.1.conv1.conv"),
+            "wq": linear(sd, "ref_enc.slf_attn.w_qs"),
+            "wk": linear(sd, "ref_enc.slf_attn.w_ks"),
+            "wv": linear(sd, "ref_enc.slf_attn.w_vs"),
+            "fc_attn": linear(sd, "ref_enc.slf_attn.fc"),
+            "fc": linear(sd, "ref_enc.fc.fc"),
+        },
+    }
+
+
 def bert_from_state_dict(sd: dict, num_layers: int) -> dict:
     """HF BertModel state_dict -> models/bert.py pytree."""
     p = {
