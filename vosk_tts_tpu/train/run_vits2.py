@@ -101,6 +101,9 @@ def main(argv=None):
     ap.add_argument("-c", "--config", required=True)
     ap.add_argument("-m", "--model-dir", required=True)
     ap.add_argument("--finetune", default=None, help="pretrained checkpoint dir")
+    ap.add_argument("--wavlm-dir", default=None,
+                    help="frozen WavLM bundle (params.npz + config.json) enabling "
+                         "the SLM loss branch (train_ms.py:397-406,441-444)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--log-interval", type=int, default=None)
     ap.add_argument("--save-interval-steps", type=int, default=None)
@@ -126,8 +129,28 @@ def main(argv=None):
     batcher = BucketBatcher(dataset, batch_size, host_id=host_id, num_hosts=n_hosts)
     log.info("dataset: %d utts, %d batches/epoch", len(dataset), batcher.num_batches())
 
+    # frozen WavLM for the SLM GAN branch (reference applies it by default in
+    # train_ms.py:397-406; here it is enabled by providing the converted bundle)
+    slm = None
+    slm_dims = {}
+    if args.wavlm_dir:
+        import dataclasses
+
+        from pathlib import Path
+
+        from ..models import wavlm as WL
+
+        wdir = Path(args.wavlm_dir)
+        wl_cfg = WL.WavLMConfig.from_hf(json.load(open(wdir / "config.json")))
+        slm = {"params": ckpt.load_params(wdir / "params.npz"), "cfg": wl_cfg}
+        tcfg = dataclasses.replace(tcfg, use_slm=True)
+        slm_dims = {"slm_hidden": wl_cfg.hidden_size,
+                    "slm_layers": wl_cfg.num_hidden_layers + 1,
+                    "slm_initial": train_cfg.get("slm_initial", 64)}
+        log.info("SLM loss enabled (WavLM from %s)", wdir)
+
     start_epoch = 0
-    state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg)
+    state = T.init_train_state(jax.random.PRNGKey(train_cfg.get("seed", 1234)), mcfg, tcfg, **slm_dims)
     resume = ckpt.load_full_state(args.model_dir, "STATE", state)
     if resume is not None:
         state, meta = resume
@@ -144,7 +167,7 @@ def main(argv=None):
 
     state = M.replicate_params(mesh, state)
     freeze_dur = bool(args.finetune)  # train_finetune.py:239-241
-    step_fn = jax.jit(T.make_train_step(mcfg, tcfg))
+    step_fn = jax.jit(T.make_train_step(mcfg, tcfg, slm=slm))
     rng = jax.random.PRNGKey(0)
 
     try:
