@@ -1,0 +1,93 @@
+"""GPT-SoVITS text cleaner goldens: the 351-symbol table must equal the
+reference's (training/gpt-sovits/text/symbols.py:149-150), English G2P must
+match CMUdict rows + the reference OOV rules, and the ru path must match the
+reference russian.py walk."""
+
+import importlib.util
+import os
+
+import pytest
+
+from vosk_tts_tpu.text.cleaner import (
+    Cleaner,
+    cleaned_text_to_sequence,
+    gpt_sovits_symbols,
+    ru_g2p,
+)
+from vosk_tts_tpu.text.en_g2p import EnglishG2P, read_cmu_dict
+
+REF_TEXT = "/root/reference/training/gpt-sovits/text"
+
+
+def ref_symbols():
+    spec = importlib.util.spec_from_file_location("ref_symbols", os.path.join(REF_TEXT, "symbols.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.symbols
+
+
+def test_symbol_table_matches_reference():
+    assert gpt_sovits_symbols() == ref_symbols()
+
+
+def test_cleaned_text_to_sequence_ids():
+    syms = gpt_sovits_symbols()
+    ids = cleaned_text_to_sequence([syms[5], syms[0], syms[-1]])
+    assert ids == [5, 0, len(syms) - 1]
+
+
+@pytest.fixture(scope="module")
+def en():
+    return EnglishG2P(REF_TEXT)
+
+
+def test_cmu_dict_words(en):
+    cmu = read_cmu_dict(REF_TEXT)
+    assert len(cmu) > 100_000
+    # spot-check golden rows straight from the shipped dictionary data
+    for word in ("hello", "world", "synthesis", "quick"):
+        assert en.word_phones(word) == cmu[word], word
+
+
+def test_oov_rules(en):
+    # lone "a" reads EY1 (english.py:221)
+    assert en.word_phones("a") == ["EY1"]
+    # possessive: word + Z (english.py:232-236)
+    assert en.word_phones("zzzqy's") == en.word_phones("zzzqy") + ["Z"]
+    # <=3-letter OOV spells letters (english.py:228-230)
+    got = en.word_phones("qzk")
+    assert got == en.word_phones("q") + en.word_phones("z") + en.word_phones("k")
+
+
+def test_en_sentence(en):
+    phones = en("Hello, world!")
+    assert "," in phones and "!" in phones
+    cmu = read_cmu_dict(REF_TEXT)
+    assert phones[: len(cmu["hello"])] == cmu["hello"]
+    # every emitted phone exists in the symbol table
+    table = set(gpt_sovits_symbols())
+    assert all(p in table for p in phones)
+
+
+def test_ru_path_matches_reference_walk():
+    # russian.py g2p without a dictionary: rule-based convert per word
+    phones = ru_g2p("привет мир")
+    from vosk_tts_tpu.text.g2p import convert
+
+    want = convert("привет").split() + [" "] + convert("мир").split()
+    assert phones == want
+    table = set(gpt_sovits_symbols())
+    assert all(p in table for p in phones)
+
+
+def test_cleaner_dispatch():
+    c = Cleaner(en_dict_dir=REF_TEXT)
+    ph_en, w2p, norm = c.clean_text("Hello world", "en")
+    assert w2p is None and len(ph_en) > 3
+    ph_ru, _, _ = c.clean_text("Привет", "ru")
+    assert len(ph_ru) > 3
+    # unknown language falls back to english over a space (cleaner.py:14-16)
+    ph_x, _, _ = c.clean_text("你好", "zh")
+    assert ph_x == []
+    ids = c.to_ids(ph_en)
+    assert all(isinstance(i, int) for i in ids)
