@@ -82,7 +82,13 @@ def test_s1_dataset_filters_and_collate(s1_corpus):
     assert (batch["y"] < 17).all()
 
 
-def test_s1_loss_decreases(s1_corpus):
+@pytest.mark.parametrize("optimizer,factor", [
+    # ScaledAdam runs at the reference's locked lr 0.002 — slower descent in
+    # 30 steps than AdamW at 1e-3, but it must still clearly learn.
+    ("scaled_adam", 0.9),
+    ("adamw", 0.8),
+])
+def test_s1_loss_decreases(s1_corpus, optimizer, factor):
     from vosk_tts_tpu.models import gpt_sovits as G
     from vosk_tts_tpu.train import gpt_sovits_train as T
 
@@ -93,7 +99,8 @@ def test_s1_loss_decreases(s1_corpus):
     batch = ds.collate([0, 1, 2])
 
     mcfg = G.ARConfig(**s1_model_cfg())
-    tcfg = T.S1TrainConfig(learning_rate=1e-3, warmup_steps=1, total_steps=1000)
+    tcfg = T.S1TrainConfig(optimizer=optimizer, learning_rate=1e-3,
+                           warmup_steps=1, total_steps=1000)
     state = T.init_s1_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = jax.jit(T.make_s1_step(mcfg, tcfg))
 
@@ -101,7 +108,7 @@ def test_s1_loss_decreases(s1_corpus):
     for k in range(30):
         state, metrics = step(state, batch, jax.random.PRNGKey(k))
         losses.append(float(metrics["loss"]))
-    assert losses[-1] < losses[1] * 0.8, losses[:3] + losses[-3:]
+    assert losses[-1] < losses[1] * factor, losses[:3] + losses[-3:]
     assert float(metrics["acc"]) > 0
 
 

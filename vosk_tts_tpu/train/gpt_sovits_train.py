@@ -1,9 +1,11 @@
 """GPT-SoVITS training steps.
 
-Stage 1 (s1_train.py + t2s_lightning_module): AR cross-entropy with AdamW +
-warmup-cosine schedule. Stage 2 (s2_train.py): the usual VITS GAN recipe
-over the SoVITS graph (MultiPeriodDiscriminator, mel/KL/fm losses + RVQ
-commit loss), same fused single-jit structure as train/vits2_train.py.
+Stage 1 (s1_train.py + t2s_lightning_module.py:119-141): AR cross-entropy
+with ScaledAdam (lr locked to 0.002 by the reference's WarmupCosineLRSchedule
+— see train/scaled_adam.py) as the default, with AdamW + warmup-cosine as an
+alternative. Stage 2 (s2_train.py): the usual VITS GAN recipe over the
+SoVITS graph (MultiPeriodDiscriminator, mel/KL/fm losses + RVQ commit loss),
+same fused single-jit structure as train/vits2_train.py.
 """
 
 from __future__ import annotations
@@ -24,6 +26,10 @@ from .vits2_train import TrainConfig, make_optimizer
 
 @dataclass(frozen=True)
 class S1TrainConfig:
+    # "scaled_adam" = reference parity (t2s_lightning_module.py:119-127:
+    # lr=0.01, betas (0.9, 0.95), clipping_scale 2.0, period 1000, with the
+    # schedule locked at 0.002); "adamw" = plain warmup-cosine AdamW.
+    optimizer: str = "scaled_adam"
     learning_rate: float = 1e-4
     warmup_steps: int = 2000
     total_steps: int = 300_000
@@ -36,6 +42,14 @@ class S1TrainConfig:
 
 
 def make_s1_optimizer(tcfg: S1TrainConfig):
+    if tcfg.optimizer == "scaled_adam":
+        from .scaled_adam import scaled_adam, warmup_cosine_lr
+
+        return scaled_adam(
+            learning_rate=warmup_cosine_lr(0.0, 0.01, 0.002, tcfg.warmup_steps,
+                                           tcfg.total_steps, locked=0.002),
+            betas=(0.9, 0.95), clipping_scale=2.0, clipping_update_period=1000,
+        )
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, tcfg.learning_rate, tcfg.warmup_steps, tcfg.total_steps
     )
