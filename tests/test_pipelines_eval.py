@@ -73,6 +73,67 @@ def test_eval_harness(rng, tmp_path):
     assert wer.value == 0.0
 
 
+def _synthetic_voice(rng, f0, formants, n_sec=1.0, sr=22050):
+    """Harmonic source at f0 shaped by a formant envelope — a crude but
+    distinct 'voice'; different utterances = different random AM contours."""
+    t = np.arange(int(n_sec * sr)) / sr
+    # jittered harmonic stack
+    src = sum(np.sin(2 * np.pi * f0 * (k + 1) * t + rng.uniform(0, 2 * np.pi)) / (k + 1)
+              for k in range(12))
+    spec = np.fft.rfft(src)
+    freqs = np.fft.rfftfreq(len(src), 1 / sr)
+    env = sum(np.exp(-0.5 * ((freqs - fc) / bw) ** 2) for fc, bw in formants)
+    wav = np.fft.irfft(spec * env, n=len(src))
+    # slow random amplitude contour = the "utterance"
+    contour = np.interp(t, np.linspace(0, n_sec, 8), 0.3 + rng.uniform(0, 0.7, 8))
+    wav = wav * contour
+    return (wav / (np.abs(wav).max() + 1e-9) * 0.5).astype(np.float32)
+
+
+def test_speaker_embedder_discriminates_voices(rng):
+    """Same-voice similarity must beat cross-voice similarity — the property
+    the random-init embedder of round 1 could not provide."""
+    from vosk_tts_tpu.eval import mfcc_f0_embedding, speaker_similarity
+
+    voice_a = dict(f0=110.0, formants=[(500, 80), (1500, 120), (2500, 160)])
+    voice_b = dict(f0=220.0, formants=[(800, 100), (1200, 150), (3200, 200)])
+    a_utts = [_synthetic_voice(rng, **voice_a) for _ in range(3)]
+    b_utts = [_synthetic_voice(rng, **voice_b) for _ in range(3)]
+
+    same = speaker_similarity([(a_utts[0], a_utts[1]), (a_utts[1], a_utts[2]),
+                               (b_utts[0], b_utts[1]), (b_utts[1], b_utts[2])])
+    cross = speaker_similarity([(a_utts[0], b_utts[0]), (a_utts[1], b_utts[1]),
+                                (a_utts[2], b_utts[2])])
+    assert same.value > cross.value + 0.1, (same.value, cross.value)
+
+    e = mfcc_f0_embedding(a_utts[0], 22050)
+    assert np.isfinite(e).all() and e.ndim == 1
+
+
+def test_utmos_protocol(tmp_path):
+    from vosk_tts_tpu.eval import eval_utmos
+
+    r = eval_utmos(["a.wav", "b.wav", "c.wav"],
+                   scorer=lambda p: {"a.wav": 4.0, "b.wav": 3.0, "c.wav": 3.5}[p])
+    assert r.value == pytest.approx(3.5)
+    assert r.extra["min"] == pytest.approx(3.0)
+
+
+def test_fad_protocol(rng):
+    """FAD ~0 for same-distribution sets, larger for a different voice."""
+    from vosk_tts_tpu.eval import frechet_audio_distance
+
+    voice_a = dict(f0=110.0, formants=[(500, 80), (1500, 120), (2500, 160)])
+    voice_b = dict(f0=220.0, formants=[(800, 100), (1200, 150), (3200, 200)])
+    ref = [_synthetic_voice(rng, **voice_a) for _ in range(6)]
+    same = [_synthetic_voice(rng, **voice_a) for _ in range(6)]
+    diff = [_synthetic_voice(rng, **voice_b) for _ in range(6)]
+
+    fad_same = frechet_audio_distance(ref, same).value
+    fad_diff = frechet_audio_distance(ref, diff).value
+    assert fad_same >= 0 and fad_diff > fad_same * 2, (fad_same, fad_diff)
+
+
 def test_profiling_stage_timer():
     from vosk_tts_tpu.utils.profiling import StageTimer, device_stats
 

@@ -7,4 +7,7 @@ a pluggable backend: the synthesis/measurement driver is here, the scorer is
 injected (or the built-in fallback is used where one exists).
 """
 
-from .harness import batch_synthesize, eval_rtf, speaker_similarity, EvalResult
+from .harness import (EvalResult, batch_synthesize, eval_rtf, eval_utmos,
+                      frechet_audio_distance, speaker_similarity,
+                      transcribe_wer)
+from .speaker_embed import mfcc_f0_embedding

@@ -6,12 +6,19 @@
     (training/vits2/eval.py:140-144 xRT);
   * ``speaker_similarity`` — cosine similarity of speaker embeddings between
     generated and reference audio (extra/tts-test/ru/eval_similarity.py
-    protocol). The embedder is pluggable; the built-in fallback uses the
-    QuickVC LSTM speaker encoder (vc/eval-score.py used Resemblyzer — same
-    idea, different embedder; absolute numbers are not comparable, ranking
-    protocol is).
+    protocol). The embedder is pluggable; the default is the training-free
+    MFCC+F0 statistics signature (eval/speaker_embed.py) since Resemblyzer
+    (vc/eval-score.py:25) cannot be downloaded here — deterministic and
+    genuinely speaker-discriminative (tests/test_pipelines_eval.py proves
+    same-voice > cross-voice separation on synthetic voices).
   * ``transcribe_wer`` — ASR round-trip WER protocol (eval.py:106-146);
     requires an ASR callable (e.g. a sherpa/whisper wrapper) to be injected.
+  * ``eval_utmos`` — UTMOS MOS-prediction protocol
+    (extra/tts-test/ru/eval_utmos.py:8-18); scorer injectable (the utmos
+    checkpoint cannot be downloaded here).
+  * ``frechet_audio_distance`` — FAD between embedding sets
+    (extra/tts-test/ru/eval_fad.py points at fadtk; implemented natively
+    here with a pluggable embedder, default MFCC+F0 statistics).
 """
 
 from __future__ import annotations
@@ -58,23 +65,12 @@ def eval_rtf(synth, texts, speaker_id=0, warmup=1) -> EvalResult:
 
 
 def _default_embedder():
-    """Fallback speaker embedder: randomly initialized QuickVC LSTM encoder.
-    Deterministic and usable for RANKING comparisons between systems on the
-    same data; inject a trained embedder for absolute similarity numbers."""
-    import jax
-    import jax.numpy as jnp
+    """Default speaker embedder: training-free MFCC+F0 statistics
+    (eval/speaker_embed.py). Inject a trained d-vector/ECAPA model when one
+    is available for numbers comparable to the reference's Resemblyzer."""
+    from .speaker_embed import mfcc_f0_embedding
 
-    from ..models import quickvc as Q
-    from ..ops.stft import mel_spectrogram
-
-    params = Q.speaker_encoder_init(jax.random.PRNGKey(0))
-
-    def embed(wav: np.ndarray, sample_rate: int) -> np.ndarray:
-        mel = mel_spectrogram(jnp.asarray(wav, jnp.float32)[None, :], 1024, 80,
-                              sample_rate, 256, 1024, 0.0, None)
-        return np.asarray(Q.embed_utterance(params, mel))[0]
-
-    return embed
+    return mfcc_f0_embedding
 
 
 def speaker_similarity(pairs, sample_rate=22050, embedder=None) -> EvalResult:
@@ -105,6 +101,46 @@ def transcribe_wer(wav_paths, ref_texts, asr) -> EvalResult:
         errs += _edit_distance(hyp, ref_w)
         total += len(ref_w)
     return EvalResult("wer", errs / max(total, 1), {"words": total})
+
+
+def eval_utmos(wav_paths, scorer) -> EvalResult:
+    """UTMOS protocol (extra/tts-test/ru/eval_utmos.py:8-18): score every
+    file, report mean and min. ``scorer(path) -> float`` must be injected —
+    the utmos checkpoint auto-download of the reference script has no
+    network path in this environment."""
+    scores = [float(scorer(p)) for p in wav_paths]
+    return EvalResult("utmos_mean", float(np.mean(scores)),
+                      {"min": float(np.min(scores)), "n": len(scores)})
+
+
+def frechet_audio_distance(ref_wavs, gen_wavs, sample_rate=22050,
+                           embedder=None) -> EvalResult:
+    """FAD (eval_fad.py / fadtk protocol): Frechet distance between Gaussian
+    fits of per-utterance embeddings of a reference set and a generated set.
+
+    fadtk's encodec embeddings are not downloadable here; the embedder is
+    pluggable (``embedder(wav, sr) -> vec``) with the MFCC+F0 signature as
+    default. FAD = |mu1-mu2|^2 + tr(S1 + S2 - 2 (S1 S2)^1/2).
+    """
+    embedder = embedder or _default_embedder()
+    e_ref = np.stack([embedder(np.asarray(w, np.float32), sample_rate) for w in ref_wavs])
+    e_gen = np.stack([embedder(np.asarray(w, np.float32), sample_rate) for w in gen_wavs])
+    mu1, mu2 = e_ref.mean(0), e_gen.mean(0)
+    s1 = np.cov(e_ref, rowvar=False)
+    s2 = np.cov(e_gen, rowvar=False)
+    covmean = _sqrtm_psd(s1 @ s2)
+    fad = float(np.sum((mu1 - mu2) ** 2) + np.trace(s1 + s2 - 2.0 * covmean))
+    return EvalResult("fad", max(fad, 0.0), {"n_ref": len(ref_wavs), "n_gen": len(gen_wavs)})
+
+
+def _sqrtm_psd(m, eps=1e-10):
+    """Matrix square root of (a symmetrized view of) a PSD-ish product via
+    eigendecomposition — scipy-free, exact for the symmetric case and the
+    standard stable approximation used for the FAD cross term."""
+    sym = (m + m.T) / 2.0
+    vals, vecs = np.linalg.eigh(sym)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals + eps)) @ vecs.T
 
 
 def _edit_distance(a, b):
