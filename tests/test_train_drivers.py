@@ -298,6 +298,29 @@ def vits2_cfg_dict(root):
     }
 
 
+def test_vits2_gan_loss_decreases(vits2_corpus):
+    """Flagship-family convergence check (VERDICT r1 weak-7): at the tiny
+    dryrun-style config the generator's mel loss must clearly decrease over
+    repeated GAN steps on one fixed batch."""
+    from vosk_tts_tpu.train import run_vits2
+    from vosk_tts_tpu.train import vits2_train as T
+    from vosk_tts_tpu.train.data import TTSDataset, BucketBatcher
+
+    mcfg, tcfg, dcfg = run_vits2.build_configs(vits2_cfg_dict(vits2_corpus))
+    dataset = TTSDataset(dcfg)
+    batcher = BucketBatcher(dataset, 2)
+    batch = next(iter(batcher.epoch(0)))
+
+    state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = jax.jit(T.make_train_step(mcfg, tcfg))
+    mel = []
+    for k in range(25):
+        state, metrics = step(state, batch, jax.random.PRNGKey(k))
+        mel.append(float(metrics["loss_mel"]))
+    assert all(np.isfinite(mel))
+    assert min(mel[-5:]) < mel[0] * 0.7, mel[:3] + mel[-3:]
+
+
 def test_vits2_driver_with_slm(vits2_corpus, tmp_path):
     """run_vits2 --wavlm-dir: the SLM GAN branch is live in the actual
     training path (reference train_ms.py:397-406,441-444)."""
