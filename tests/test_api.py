@@ -116,3 +116,45 @@ def test_synth_batch_sharded(bundle):
     assert len(wavs) == 3
     for w in wavs:
         assert w.dtype.name == "int16" and len(w) > 1000
+
+
+def test_registry_download_and_load(bundle, tmp_path, monkeypatch):
+    """Registry resolution (reference model.py:17-127): model-list.json +
+    <name>.zip over a file:// registry, unzip into the cache dir, load."""
+    import shutil
+
+    from vosk_tts_tpu import registry
+    from vosk_tts_tpu.api import Model, Synth
+
+    reg = tmp_path / "registry"
+    reg.mkdir()
+    name = bundle.name
+    shutil.make_archive(str(reg / name), "zip", root_dir=bundle.parent, base_dir=name)
+    (reg / "model-list.json").write_text(json.dumps([
+        {"name": "other-model", "lang": "en", "type": "big", "obsolete": "false"},
+        {"name": name, "lang": "ru", "type": "small", "obsolete": "false"},
+    ]), encoding="utf-8")
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("VOSK_TTS_REGISTRY", f"file://{reg}")
+
+    # by-name download
+    path = registry.resolve(name, None, [str(cache)])
+    assert (path / "config.json").exists() and not (cache / f"{name}.zip").exists()
+
+    # by-lang selection rule picks the non-obsolete small entry
+    models = registry.model_list()
+    assert registry.select_by_lang(models, "ru")["name"] == name
+    assert registry.select_by_lang(models, "en") is None  # type != small
+
+    # end-to-end: Model() with an empty local cache pulls from the registry
+    cache2 = tmp_path / "cache2"
+    monkeypatch.setattr("vosk_tts_tpu.api.MODEL_DIRS", [str(cache2)])
+    model = Model(model_name=name)
+    wav = Synth(model).synth_audio("привет", speaker_id=0)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+    # second load hits the local cache (no registry needed)
+    monkeypatch.delenv("VOSK_TTS_REGISTRY")
+    model2 = Model(model_name=name)
+    assert model2.path == model.path

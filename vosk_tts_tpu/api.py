@@ -51,7 +51,12 @@ FRAMES_PER_TOKEN = 16
 
 
 def list_models():
-    """Lists locally installed bundles (no network in this environment)."""
+    """Registry model list when VOSK_TTS_REGISTRY is set (reference
+    model.py:22-25), plus locally installed bundles."""
+    from . import registry
+
+    for m in registry.model_list():
+        print(m["name"])
     for d in MODEL_DIRS:
         if d and Path(d).is_dir():
             for name in sorted(os.listdir(d)):
@@ -60,7 +65,11 @@ def list_models():
 
 
 def list_languages():
-    print("ru")
+    from . import registry
+
+    langs = {m.get("lang") for m in registry.model_list()} or {"ru"}
+    for lang in sorted(l for l in langs if l):
+        print(lang)
 
 
 class Model:
@@ -110,18 +119,9 @@ class Model:
 
     @staticmethod
     def _find(model_name, lang):
-        for d in MODEL_DIRS:
-            if d is None or not Path(d).is_dir():
-                continue
-            for name in os.listdir(d):
-                if model_name is not None and name == model_name:
-                    return Path(d) / name
-                if model_name is None and lang and re.match(rf"vosk-model(-small)?(-tts)?-{lang}", name):
-                    return Path(d) / name
-        raise FileNotFoundError(
-            f"no local model for name={model_name!r} lang={lang!r}; searched {[d for d in MODEL_DIRS if d]} "
-            "(network model download is not available in this environment)"
-        )
+        from . import registry
+
+        return registry.resolve(model_name, lang, MODEL_DIRS)
 
 
 def audio_float_to_int16(audio: np.ndarray, max_wav_value: float = 32767.0) -> np.ndarray:
