@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from ..ops import attention as att
 from ..ops import flows as fl
+from ..ops import mrf
 from ..ops import wn as wnops
 from ..ops.commons import fused_gate, generate_path, rand_slice_segments, sequence_mask
 from ..ops.conv import conv1d, conv_transpose1d
@@ -562,7 +563,7 @@ def generator_init(key, cfg: VITS2Config):
     raise ValueError(cfg.decoder_type)
 
 
-def _generator_trunk(params, cfg: VITS2Config, x, g=None):
+def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False):
     x = conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
     if g is not None and "cond" in params:
         x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
@@ -574,9 +575,17 @@ def _generator_trunk(params, cfg: VITS2Config, x, g=None):
         opad = cfg.upsample_output_paddings[i] if cfg.upsample_output_paddings else 0
         x = conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"], stride=u,
                              padding=pad, output_padding=opad)
+        # Pallas fused res-pair kernel (ops/mrf.py): inference-only (no VJP),
+        # resblock1 geometry, lane-aligned channels, block-aligned T.
+        use_fused = (fused_mrf and cfg.resblock == "1"
+                     and mrf.supported(x.shape[1], x.shape[2]))
         xs = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
-            r = resblock_apply(params["resblocks"][i * n_kernels + j], x, None, kernel_size=rk, dilation=tuple(rd))
+            rb = params["resblocks"][i * n_kernels + j]
+            if use_fused:
+                r = mrf.resblock1_apply_fused(rb, x, kernel_size=rk, dilation=tuple(rd))
+            else:
+                r = resblock_apply(rb, x, None, kernel_size=rk, dilation=tuple(rd))
             xs = r if xs is None else xs + r
         x = xs / n_kernels
     # final activation uses torch's default slope 0.01, not LRELU_SLOPE
@@ -590,17 +599,20 @@ def _spec_phase(x, n_fft):
     return spec, phase
 
 
-def generator_apply(params, cfg: VITS2Config, x, g=None):
-    """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None)."""
+def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False):
+    """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None).
+
+    fused_mrf routes the MRF resblocks through the Pallas kernel
+    (inference-only: pallas_call has no VJP here)."""
     n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
     inverse = istft if cfg.istft_mode == "torch" else istft_onnx
 
     if cfg.decoder_type == "hifigan":
-        x = _generator_trunk(params, cfg, x, g)
+        x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf)
         x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
         return jnp.tanh(x), None
 
-    x = _generator_trunk(params, cfg, x, g)
+    x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf)
     x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")  # ReflectionPad1d((1,0))
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
 
@@ -690,7 +702,8 @@ def infer(
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
-    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g,
+                                  fused_mrf=jax.default_backend() == "tpu")
 
     up = cfg.upsample_factor
     return {
