@@ -31,6 +31,10 @@ def main():
     ap.add_argument("config")
     ap.add_argument("out")
     ap.add_argument("--dictionary", default=None)
+    ap.add_argument("--family", default="vits2",
+                    choices=("vits2", "quickvc", "sovits"),
+                    help="reference checkpoint family (G_*.pth of "
+                         "training/vits2, vc/, or gpt-sovits stage 2)")
     args = ap.parse_args()
 
     import torch
@@ -40,13 +44,26 @@ def main():
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
     ref = json.load(open(args.config))
-    cfg = VITS2Config.from_reference_json(ref["model"], ref.get("data"), ref.get("train"))
-    params = vits2_from_state_dict(sd, cfg)
+    if args.family == "quickvc":
+        from vosk_tts_tpu.models.quickvc import QuickVCConfig
+        from vosk_tts_tpu.utils.torch_params import quickvc_from_state_dict
+
+        cfg = QuickVCConfig()
+        params = quickvc_from_state_dict(sd, cfg)
+    elif args.family == "sovits":
+        from vosk_tts_tpu.models.gpt_sovits import SoVITSConfig
+        from vosk_tts_tpu.utils.torch_params import sovits_from_state_dict
+
+        cfg = SoVITSConfig()
+        params = sovits_from_state_dict(sd, cfg)
+    else:
+        cfg = VITS2Config.from_reference_json(ref["model"], ref.get("data"), ref.get("train"))
+        params = vits2_from_state_dict(sd, cfg)
 
     os.makedirs(args.out, exist_ok=True)
     save_params(os.path.join(args.out, "params.npz"), params)
     out_cfg = {
-        "model_type": "vits2",
+        "model_type": args.family,
         "sample_rate": ref.get("data", {}).get("sampling_rate", 22050),
         "phoneme_id_map": {k: [v] for k, v in plain_symbol_map().items()},
         "inference": {"noise_level": 0.8, "speech_rate": 1.0, "duration_noise_level": 0.8},
