@@ -702,8 +702,12 @@ def infer(
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
+    import os as _os
+
+    use_fused = (jax.default_backend() == "tpu"
+                 and not _os.environ.get("VOSK_TTS_NO_FUSED_MRF"))
     wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g,
-                                  fused_mrf=jax.default_backend() == "tpu")
+                                  fused_mrf=use_fused)
 
     up = cfg.upsample_factor
     return {
