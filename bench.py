@@ -82,7 +82,22 @@ def bench_jax():
     true_samples = float(np.minimum(np.asarray(out), MAX_FRAMES * HOP).sum())
     capacity_seconds = BATCH * MAX_FRAMES * HOP / SAMPLE_RATE
     true_seconds = true_samples / SAMPLE_RATE
-    return capacity_seconds / elapsed, true_seconds / elapsed, elapsed
+
+    # batch=1 latency / RTF (BASELINE metrics: p50 latency, RTF@batch=1).
+    # device_timeit's slope removes dispatch overhead, so this is the p50
+    # device latency of one utterance-synthesis step at the same bucket.
+    x1, xl1, sid1 = x[:1], x_lengths[:1], sid[:1]
+
+    def step1(carry):
+        rng, acc = carry
+        rng, sub = jax.random.split(rng)
+        out = vits2.infer(params, cfg, x1, xl1, sid1, rng=sub, max_frames=MAX_FRAMES)
+        return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
+
+    lat1, _, _ = device_timeit(step1, (jax.random.PRNGKey(3), jnp.zeros((), jnp.float32)),
+                               n1=4, n2=16, reps=5)
+    rtf1 = lat1 / (MAX_FRAMES * HOP / SAMPLE_RATE)
+    return capacity_seconds / elapsed, true_seconds / elapsed, elapsed, lat1, rtf1
 
 
 def bench_torch_cpu_baseline():
@@ -143,7 +158,7 @@ def main():
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1200")))
 
-    ours, true_rate, elapsed = bench_jax()
+    ours, true_rate, elapsed, lat1, rtf1 = bench_jax()
     baseline = bench_torch_cpu_baseline()
     vs = round(ours / baseline, 2) if baseline else 0.0
     print(json.dumps({
@@ -153,6 +168,8 @@ def main():
         "vs_baseline": vs,
         "true_duration_audio_s_per_s": round(true_rate, 1),
         "step_ms": round(elapsed * 1e3, 2),
+        "p50_latency_ms_batch1": round(lat1 * 1e3, 2),
+        "rtf_batch1": round(rtf1, 5),
         "config": f"mb-istft-vits2 batch={BATCH} text={TEXT_LEN} frames={MAX_FRAMES} {DTYPE}",
     }))
 
