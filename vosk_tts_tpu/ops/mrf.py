@@ -39,7 +39,10 @@ _SLOPE = 0.1  # LRELU_SLOPE (reference commons.py)
 
 
 def _leaky(x):
-    return jnp.where(x >= 0, x, _SLOPE * x)
+    # max/min formulation: identical to where(x>=0, x, slope*x) but avoids a
+    # bf16 vector cmpf, which Mosaic rejects on v5e ("Target does not
+    # support this comparison").
+    return jnp.maximum(x, 0) + jnp.asarray(_SLOPE, x.dtype) * jnp.minimum(x, 0)
 
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
