@@ -702,10 +702,13 @@ def infer(
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
+    # Fused Pallas MRF is opt-in: measured on v5e it UNDERPERFORMS the XLA
+    # conv lowering (58.4 vs 38.5 ms full generator at batch16/2048 — the
+    # per-tap (rows,C)@(C,C) matmuls under-utilize the MXU). Kept as a
+    # correct, tested baseline for future kernel work (ops/mrf.py).
     import os as _os
 
-    use_fused = (jax.default_backend() == "tpu"
-                 and not _os.environ.get("VOSK_TTS_NO_FUSED_MRF"))
+    use_fused = bool(_os.environ.get("VOSK_TTS_FUSED_MRF"))
     wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g,
                                   fused_mrf=use_fused)
 
