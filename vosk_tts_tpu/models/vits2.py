@@ -44,6 +44,7 @@ from ..ops.commons import fused_gate, generate_path, rand_slice_segments, sequen
 from ..ops.conv import conv1d, conv_transpose1d
 from ..ops.mas import maximum_path
 from ..ops.norm import layer_norm
+from ..ops import pqmf
 from ..ops.pqmf import pqmf_synthesis
 from ..ops.stft import istft, istft_onnx
 from ..ops.wn import _conv_init, leaky_relu
@@ -634,10 +635,10 @@ def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = Fa
         return pqmf_synthesis(y_mb, subbands=sub), y_mb
 
     # ms_istft: zero-stuffed upsample ×sub then learned synthesis filter k=63
-    up_w = np.zeros((sub, sub, sub), dtype=np.float32)
-    up_w[0] = np.eye(sub, dtype=np.float32) * sub
-    y_up = conv_transpose1d(y_mb, jnp.asarray(up_w, dtype=y_mb.dtype), stride=sub, padding=0)
-    y = conv1d(y_up, params["multistream_conv_post"]["w"], None, padding=31)
+    # — computed in polyphase form (ops/pqmf.polyphase_upfir): one
+    # subband-rate conv instead of a lane-starved full-rate one.
+    y = pqmf.polyphase_upfir(y_mb, params["multistream_conv_post"]["w"],
+                             stride=sub, gain=float(sub))
     return y, y_mb
 
 
