@@ -46,7 +46,7 @@ from ..ops.mas import maximum_path
 from ..ops.norm import layer_norm
 from ..ops import pqmf
 from ..ops.pqmf import pqmf_synthesis
-from ..ops.stft import istft, istft_onnx
+from ..ops.stft import istft, istft_multiband, istft_onnx
 from ..ops.wn import _conv_init, leaky_relu
 
 
@@ -625,11 +625,10 @@ def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = Fa
     sub = cfg.subbands
     x = x.reshape(b, t, sub, n_fft + 2)
     spec, phase = _spec_phase(x, n_fft)
-    # fold subbands into batch for one iSTFT matmul
-    spec = spec.transpose(0, 2, 1, 3).reshape(b * sub, t, n_fft // 2 + 1)
-    phase = phase.transpose(0, 2, 1, 3).reshape(b * sub, t, n_fft // 2 + 1)
-    y_mb = inverse(spec, phase, n_fft, hop, n_fft)  # (B*sub, samples)
-    y_mb = y_mb.reshape(b, sub, -1).transpose(0, 2, 1)  # (B, samples, sub)
+    # all subbands in ONE block-diagonal transposed conv (no batch-fold
+    # transposes, no lane-starved (B*sub, T, bins) tensors)
+    y_mb = istft_multiband(spec, phase, n_fft, hop, n_fft,
+                           mode=cfg.istft_mode)  # (B, samples, sub)
 
     if cfg.decoder_type == "mb_istft":
         return pqmf_synthesis(y_mb, subbands=sub), y_mb

@@ -211,6 +211,35 @@ def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: int) -> j
     return y[:, half : y.shape[1] - half]
 
 
+def istft_multiband(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int,
+                    win: int, *, mode: str = "torch") -> jax.Array:
+    """All-subband inverse STFT in one conv: mag/phase (B, T, sub, n_fft//2+1)
+    -> (B, (T-1)*hop [+0/-0 per mode trim], sub).
+
+    Same math as mapping :func:`istft`/:func:`istft_onnx` over subbands, but
+    the per-subband bases sit block-diagonally in ONE transposed conv, so no
+    (B*sub, T, bins) batch-fold transposes and no lane-starved small-channel
+    tensors (they cost ~2 ms of the 56 ms serving step, tools/profile).
+    The window envelope is identical across subbands, so the torch-mode
+    normalization is a broadcast divide.
+    """
+    b, t, sub, _ = mag.shape
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    spectra = jnp.concatenate([re, im], axis=-1).reshape(b, t, sub * (n_fft + 2))
+    _, inv = _dft_bases(n_fft, win)
+    w1 = inv[..., None].transpose(1, 0, 2)  # (K=n_fft, n_fft+2, 1)
+    wbd = np.zeros((n_fft, sub * (n_fft + 2), sub), dtype=np.float32)
+    for s in range(sub):
+        wbd[:, s * (n_fft + 2) : (s + 1) * (n_fft + 2), s] = w1[:, :, 0]
+    y = conv_transpose1d(spectra, jnp.asarray(wbd, spectra.dtype), stride=hop, padding=0)
+    if mode == "torch":
+        env = _window_envelope_np(n_fft, hop, win, t)
+        y = y / jnp.asarray(np.where(env > 1.1754944e-38, env, 1.0), y.dtype)[None, :, None]
+    half = n_fft // 2
+    return y[:, half : y.shape[1] - half, :]
+
+
 def istft_onnx(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: int) -> jax.Array:
     """OnnxSTFT.inverse semantics (training/vits2/stft.py:234-253): the scale
     inside pinv(scale*fourier) and the trailing *= n_fft/hop cancel, leaving
