@@ -1,27 +1,26 @@
 #!/usr/bin/env python3
-"""Benchmark: batched MB-iSTFT-VITS2 synthesis throughput on one chip.
+"""Benchmark: MB-iSTFT-VITS2 synthesis throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "audio_seconds_per_second_per_chip", "value": N,
-   "unit": "audio-s/s", "vs_baseline": R}
+Prints ONE JSON line. The primary ``value`` is TRUE-DURATION throughput
+(audio seconds a caller actually keeps, per second of device time) over a
+realistic mixed-length serving workload using the duration-adaptive two-pass
+path (api.predict_frames -> smallest sufficient frame bucket -> decode).
+Worst-case-bucket capacity (what the static graph computes regardless of
+durations) is reported as a secondary metric.
 
-Method: the flagship inference graph (shipped mb_istft_vits2_multi
-architecture) is jitted at a fixed shape class (batch x text-bucket x
-frame-capacity); throughput counts the full synthesized capacity
-(frames x 256 samples @ 22.05 kHz), which is what the graph actually
-computes regardless of predicted durations.
+Method: every graph is jitted at a fixed shape class; timing runs INSIDE one
+compiled program (lax.scan with an rng-carry data dependence), only a scalar
+crosses the tunnel, and the per-iteration time is the slope between two
+iteration counts (median of several runs) — see utils/profiling.device_timeit.
+The axon relay's ~25 ms fixed dispatch cost per call and ~50-100 MB/s output
+fetch are excluded by construction (they are tunnel artifacts, not device
+time; a production host dispatches locally).
 
-Timing: the axon relay adds ~25 ms fixed dispatch+sync overhead per program
-call and fetches outputs at ~50-100 MB/s, either of which swamps the real
-device time. So iterations run INSIDE one compiled program (lax.scan with an
-rng-carry data dependence), only a scalar crosses the tunnel, and the
-per-iteration time is the slope between two iteration counts (median of
-several runs) — see utils/profiling.device_timeit.
-
-Baseline: the same architecture, same shapes, run by the REFERENCE torch
-implementation on CPU (the reference's own deployment path is CPU/CUDA ONNX;
-torch-CPU eager is the comparable host path available here). The baseline is
-measured once and cached in .bench_baseline.json.
+Baseline: the same architecture run by the REFERENCE torch implementation on
+CPU (the reference's own deployment path is CPU/CUDA ONNX; torch-CPU eager is
+the comparable host path available here), counting its ACTUAL dynamic output
+frames — i.e. a true-duration rate, same units as our primary value. Measured
+once and cached in .bench_baseline.json.
 """
 
 import json
@@ -33,75 +32,118 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
 BATCH = 16
-TEXT_LEN = 256
-MAX_FRAMES = 2048
 SAMPLE_RATE = 22050
 HOP = 256
 DTYPE = "bfloat16"  # serving precision; correctness is gated at fp32 in tests
 BASELINE_CACHE = os.path.join(ROOT, ".bench_baseline.json")
 
+# capacity config (same as BENCH_r01/r02 for round-over-round comparability)
+CAP_TEXT, CAP_FRAMES = 256, 2048
+# realistic mixed-length serving workload: (text_bucket, real token count).
+# ~56 tokens is a short sentence, ~250 a long compound one (the reference
+# caps text at 350 chars, data_utils.py:39).
+WORKLOAD = ((64, 56), (128, 120), (256, 250))
 
-def bench_jax():
-    import jax
-    import jax.numpy as jnp
 
-    from vosk_tts_tpu.models import vits2
-
+def _params(vits2, jax, jnp):
     cfg = vits2.VITS2Config()
     params = vits2.synthesizer_init(jax.random.PRNGKey(0), cfg)
     if DTYPE == "bfloat16":
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
         )
+    return cfg, params
 
-    from vosk_tts_tpu.utils.profiling import device_timeit
 
-    x = jnp.zeros((BATCH, TEXT_LEN), jnp.int32)
-    x_lengths = jnp.full((BATCH,), TEXT_LEN, jnp.int32)
-    sid = jnp.zeros((BATCH,), jnp.int32)
-
-    def step(carry):
-        rng, acc = carry
-        rng, sub = jax.random.split(rng)
-        out = vits2.infer(params, cfg, x, x_lengths, sid, rng=sub, max_frames=MAX_FRAMES)
-        return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
-
-    carry0 = (jax.random.PRNGKey(1), jnp.zeros((), jnp.float32))
-    elapsed, _, _ = device_timeit(step, carry0, n1=4, n2=16, reps=5)
-
-    # capacity = what the static-shape graph actually computes every call;
-    # true duration = the audio a caller would keep (predicted wav_lengths,
-    # clipped to the frame bucket) — report both (a bucketed server bills
-    # capacity, an offline user experiences true duration).
-    out = jax.jit(
-        lambda r: vits2.infer(params, cfg, x, x_lengths, sid, rng=r,
-                              max_frames=MAX_FRAMES)["wav_lengths"]
-    )(jax.random.PRNGKey(2))
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    true_samples = float(np.minimum(np.asarray(out), MAX_FRAMES * HOP).sum())
-    capacity_seconds = BATCH * MAX_FRAMES * HOP / SAMPLE_RATE
-    true_seconds = true_samples / SAMPLE_RATE
+    from vosk_tts_tpu import api
+    from vosk_tts_tpu.models import vits2
+    from vosk_tts_tpu.utils.profiling import device_timeit
 
-    # batch=1 latency / RTF (BASELINE metrics: p50 latency, RTF@batch=1).
-    # device_timeit's slope removes dispatch overhead, so this is the p50
-    # device latency of one utterance-synthesis step at the same bucket.
-    x1, xl1, sid1 = x[:1], x_lengths[:1], sid[:1]
+    cfg, params = _params(vits2, jax, jnp)
 
-    def step1(carry):
-        rng, acc = carry
-        rng, sub = jax.random.split(rng)
-        out = vits2.infer(params, cfg, x1, xl1, sid1, rng=sub, max_frames=MAX_FRAMES)
-        return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
+    def inputs(batch, text_bucket, n_real):
+        x = jnp.zeros((batch, text_bucket), jnp.int32)
+        xl = jnp.full((batch,), n_real, jnp.int32)
+        sid = jnp.zeros((batch,), jnp.int32)
+        return x, xl, sid
 
-    lat1, _, _ = device_timeit(step1, (jax.random.PRNGKey(3), jnp.zeros((), jnp.float32)),
-                               n1=4, n2=16, reps=5)
-    rtf1 = lat1 / (MAX_FRAMES * HOP / SAMPLE_RATE)
-    return capacity_seconds / elapsed, true_seconds / elapsed, elapsed, lat1, rtf1
+    def decode_step(x, xl, sid, max_frames):
+        def step(carry):
+            rng, acc = carry
+            rng, sub = jax.random.split(rng)
+            out = vits2.infer(params, cfg, x, xl, sid, rng=sub, max_frames=max_frames)
+            return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
+
+        return step
+
+    def frames_step(x, xl, sid):
+        def step(carry):
+            rng, acc = carry
+            rng, sub = jax.random.split(rng)
+            pred = vits2.predict_frames(params, cfg, x, xl, sid, rng=sub)
+            return rng, acc + jnp.sum(pred).astype(jnp.float32)
+
+        return step
+
+    carry0 = (jax.random.PRNGKey(1), jnp.zeros((), jnp.float32))
+
+    # ---- secondary: worst-case-bucket capacity (r01/r02-comparable) ------
+    xc, xlc, sidc = inputs(BATCH, CAP_TEXT, CAP_TEXT)
+    cap_elapsed, _, _ = device_timeit(decode_step(xc, xlc, sidc, CAP_FRAMES),
+                                      carry0, n1=4, n2=16, reps=5)
+    capacity_rate = (BATCH * CAP_FRAMES * HOP / SAMPLE_RATE) / cap_elapsed
+
+    # ---- primary: adaptive two-pass serving over the mixed workload ------
+    total_audio_s, total_time_s = 0.0, 0.0
+    per_class = {}
+    for text_bucket, n_real in WORKLOAD:
+        x, xl, sid = inputs(BATCH, text_bucket, n_real)
+        pred = np.asarray(jax.jit(
+            lambda r: vits2.predict_frames(params, cfg, x, xl, sid, rng=r)
+        )(jax.random.PRNGKey(2)))
+        fb = api.pick_frame_bucket(int(pred.max()), text_bucket)
+        t_frames, _, _ = device_timeit(frames_step(x, xl, sid), carry0, n1=4, n2=16, reps=3)
+        t_decode, _, _ = device_timeit(decode_step(x, xl, sid, fb), carry0, n1=4, n2=16, reps=3)
+        audio_s = float(np.minimum(pred, fb).sum()) * HOP / SAMPLE_RATE
+        total_audio_s += audio_s
+        total_time_s += t_frames + t_decode
+        per_class[f"t{text_bucket}"] = {
+            "frame_bucket": fb, "frames_ms": round(t_frames * 1e3, 2),
+            "decode_ms": round(t_decode * 1e3, 2), "audio_s": round(audio_s, 1),
+        }
+    true_rate = total_audio_s / total_time_s
+
+    # ---- batch-1 p50 latency + RTF for a SHORT utterance (adaptive) ------
+    x1, xl1, sid1 = inputs(1, WORKLOAD[0][0], WORKLOAD[0][1])
+    pred1 = int(np.asarray(jax.jit(
+        lambda r: vits2.predict_frames(params, cfg, x1, xl1, sid1, rng=r)
+    )(jax.random.PRNGKey(3)))[0])
+    fb1 = api.pick_frame_bucket(pred1, WORKLOAD[0][0])
+    tf1, _, _ = device_timeit(frames_step(x1, xl1, sid1), carry0, n1=4, n2=16, reps=5)
+    td1, _, _ = device_timeit(decode_step(x1, xl1, sid1, fb1), carry0, n1=4, n2=16, reps=5)
+    lat1 = tf1 + td1
+    audio1 = min(pred1, fb1) * HOP / SAMPLE_RATE
+    rtf1 = lat1 / audio1
+
+    return {
+        "true_rate": true_rate,
+        "capacity_rate": capacity_rate,
+        "cap_step_ms": cap_elapsed * 1e3,
+        "lat1_ms": lat1 * 1e3,
+        "rtf1": rtf1,
+        "short_frame_bucket": fb1,
+        "per_class": per_class,
+    }
 
 
 def bench_torch_cpu_baseline():
-    """Reference torch implementation, CPU, same architecture and shapes."""
+    """Reference torch implementation, CPU, same architecture; counts its
+    actual dynamic output frames (a true-duration rate)."""
     if os.path.exists(BASELINE_CACHE):
         try:
             return json.load(open(BASELINE_CACHE))["audio_s_per_s"]
@@ -123,8 +165,8 @@ def bench_torch_cpu_baseline():
             transformer_flow_type="pre_conv2",
         )
         net.eval()
-        x = torch.zeros((BATCH, TEXT_LEN), dtype=torch.long)
-        xl = torch.full((BATCH,), TEXT_LEN, dtype=torch.long)
+        x = torch.zeros((BATCH, CAP_TEXT), dtype=torch.long)
+        xl = torch.full((BATCH,), CAP_TEXT, dtype=torch.long)
         sid = torch.zeros((BATCH,), dtype=torch.long)
         with torch.no_grad():
             net.infer(x, xl, sid, noise_scale=0.0, noise_scale_w=0.0)  # warm
@@ -147,7 +189,7 @@ def main():
 
     def _on_alarm(signum, frame):
         print(json.dumps({
-            "metric": "audio_seconds_per_second_per_chip",
+            "metric": "true_duration_audio_s_per_s",
             "value": 0.0,
             "unit": "audio-s/s",
             "vs_baseline": 0.0,
@@ -156,21 +198,23 @@ def main():
         os._exit(1)
 
     signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1200")))
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT_S", "1500")))
 
-    ours, true_rate, elapsed, lat1, rtf1 = bench_jax()
+    r = bench_jax()
     baseline = bench_torch_cpu_baseline()
-    vs = round(ours / baseline, 2) if baseline else 0.0
+    vs = round(r["true_rate"] / baseline, 2) if baseline else 0.0
     print(json.dumps({
-        "metric": "audio_seconds_per_second_per_chip",
-        "value": round(ours, 1),
+        "metric": "true_duration_audio_s_per_s",
+        "value": round(r["true_rate"], 1),
         "unit": "audio-s/s",
         "vs_baseline": vs,
-        "true_duration_audio_s_per_s": round(true_rate, 1),
-        "step_ms": round(elapsed * 1e3, 2),
-        "p50_latency_ms_batch1": round(lat1 * 1e3, 2),
-        "rtf_batch1": round(rtf1, 5),
-        "config": f"mb-istft-vits2 batch={BATCH} text={TEXT_LEN} frames={MAX_FRAMES} {DTYPE}",
+        "capacity_audio_s_per_s": round(r["capacity_rate"], 1),
+        "capacity_step_ms": round(r["cap_step_ms"], 2),
+        "p50_latency_ms_batch1_short": round(r["lat1_ms"], 2),
+        "rtf_batch1": round(r["rtf1"], 5),
+        "workload": r["per_class"],
+        "config": f"mb-istft-vits2 adaptive-buckets batch={BATCH} {DTYPE}; "
+                  f"capacity at text={CAP_TEXT} frames={CAP_FRAMES}",
     }))
 
 

@@ -90,6 +90,53 @@ def test_synth_audio_speech_rate(bundle):
     assert len(a_slow) > len(a_fast)
 
 
+def test_duration_adaptive_bucket(bundle):
+    """Two-pass duration-adaptive serving (VERDICT r2 weak-3): the cheap
+    encoder+SDP pass predicts the frame count ``infer`` will compute for the
+    same rng, the chosen bucket is the smallest sufficient one, and decoding
+    at the small bucket yields the same trimmed audio as the worst-case
+    bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    from vosk_tts_tpu import api
+    from vosk_tts_tpu.api import Model, Synth, pick_frame_bucket
+    from vosk_tts_tpu.models import vits2
+
+    model = Model(model_path=bundle)
+    synth = Synth(model)
+    ids = synth._encode("Привет мир!")
+    bucket = next(b for b in api.TEXT_BUCKETS if b >= len(ids))
+    x = np.zeros((1, bucket), np.int32)
+    x[0, : len(ids)] = ids
+    x, xl, sid = jnp.asarray(x), jnp.asarray([len(ids)], dtype=jnp.int32), jnp.asarray([2], dtype=jnp.int32)
+    rng = jax.random.PRNGKey(42)
+
+    cfg = model.model_config
+    pred = int(vits2.predict_frames(model.params, cfg, x, xl, sid, rng=rng,
+                                    length_scale=1.0, noise_scale_w=0.8)[0])
+    small = pick_frame_bucket(pred, bucket)
+    cap = bucket * api.FRAMES_PER_TOKEN
+    assert small <= cap
+
+    out_s = vits2.infer(model.params, cfg, x, xl, sid, rng=rng, max_frames=small)
+    out_c = vits2.infer(model.params, cfg, x, xl, sid, rng=rng, max_frames=cap)
+    # the first pass predicted exactly what the decode graph computed
+    n_s, n_c = int(out_s["wav_lengths"][0]), int(out_c["wav_lengths"][0])
+    assert n_s == n_c == pred * cfg.upsample_factor
+    # identical audio away from the pad boundary (the tail inside the decoder
+    # receptive field of the bucket edge may differ at fp noise level)
+    n_cmp = max(1, int(n_s * 0.8))
+    np.testing.assert_allclose(np.asarray(out_s["wav"])[0, :n_cmp, 0],
+                               np.asarray(out_c["wav"])[0, :n_cmp, 0],
+                               rtol=1e-4, atol=1e-5)
+
+    # bucket picker behavior
+    assert pick_frame_bucket(1, 32) == 64
+    assert pick_frame_bucket(500, 256) == 512
+    assert pick_frame_bucket(10**6, 1024) == 16384
+
+
 def test_cli(bundle, tmp_path):
     out = tmp_path / "cli.wav"
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"}

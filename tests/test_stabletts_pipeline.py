@@ -133,14 +133,17 @@ def test_cfm_loss_decreases(corpus):
     decreases (evaluated at a FIXED rng so the comparison is deterministic)."""
     _, dcfg, ds = corpus
     mcfg = small_cfg()
-    tcfg = T.StableTrainConfig(learning_rate=3e-3)
+    # accumulate=1: this test checks learning, not accumulation (covered by
+    # test_grad_accumulation_equivalence); 40 plain updates keep it fast.
+    tcfg = T.StableTrainConfig(learning_rate=3e-3, accumulate=1)
     batcher = StableBatcher(ds, batch_size=3, shuffle=False)
     batch = next(iter(batcher))
 
     state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
     step = jax.jit(T.make_train_step(mcfg, tcfg))
 
-    eval_step = jax.jit(T.make_train_step(mcfg, T.StableTrainConfig(learning_rate=0.0)))
+    eval_step = jax.jit(T.make_train_step(
+        mcfg, T.StableTrainConfig(learning_rate=0.0, accumulate=1)))
     eval_rng = jax.random.PRNGKey(123)
 
     _, m0 = eval_step(state, batch, eval_rng)
@@ -153,6 +156,58 @@ def test_cfm_loss_decreases(corpus):
     assert float(m1["dur_loss"]) < float(m0["dur_loss"])
     assert float(m1["loss"]) < float(m0["loss"])
     assert int(state["step"]) == 40
+
+
+def test_grad_accumulation_equivalence(corpus):
+    """accumulate=4 (optax.MultiSteps) == one base-optimizer update with the
+    mean of the 4 micro-batch gradients, with zero movement in between —
+    Lightning's accumulate_grad_batches semantics
+    (stabletts/configs/trainer/default.yaml)."""
+    import optax
+
+    from vosk_tts_tpu.models import stabletts as S
+
+    _, dcfg, ds = corpus
+    mcfg = small_cfg()
+    tcfg = T.StableTrainConfig(learning_rate=1e-3, accumulate=4)
+    batcher = StableBatcher(ds, batch_size=3, shuffle=False)
+    batch = next(iter(batcher))
+    rngs = [jax.random.PRNGKey(100 + i) for i in range(4)]
+
+    state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    params0 = state["params"]
+    step = jax.jit(T.make_train_step(mcfg, tcfg))
+
+    # ---- manual: mean of 4 micro-grads through the base chain -----------
+    def loss_fn(params, rng):
+        out = S.forward_train(
+            params, mcfg, batch["x"], batch["x_lengths"], batch["mel"],
+            batch["mel_lengths"], batch["sid"], batch["bert"],
+            batch["durations"], rng=rng, cfg_dropout=tcfg.cfg_dropout,
+            use_dur_loss=tcfg.use_dur_loss,
+        )
+        return out["diff_loss"] + out["dur_loss"]
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    grads = [grad_fn(params0, r) for r in rngs]
+    mean_g = jax.tree.map(lambda *g: sum(g[1:], g[0]) / len(g), *grads)
+    base = T.make_optimizer(T.StableTrainConfig(
+        learning_rate=tcfg.learning_rate, grad_clip=tcfg.grad_clip, accumulate=1))
+    updates, _ = base.update(mean_g, base.init(params0), params0)
+    expected = optax.apply_updates(params0, updates)
+
+    # ---- MultiSteps: 4 micro-steps, params frozen until the 4th ---------
+    for i, r in enumerate(rngs):
+        state, _ = step(state, batch, r)
+        moved = max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(jax.tree.leaves(state["params"]), jax.tree.leaves(params0))
+        )
+        if i < 3:
+            assert moved == 0.0, f"params moved at micro-step {i}"
+    for got, want in zip(jax.tree.leaves(state["params"]), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-7)
 
 
 def test_driver_train_and_resume(corpus, tmp_path):

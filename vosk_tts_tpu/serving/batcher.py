@@ -26,8 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .. import api
-from ..api import TEXT_BUCKETS, FRAMES_PER_TOKEN, audio_float_to_int16
+from ..api import TEXT_BUCKETS, FRAMES_PER_TOKEN, audio_float_to_int16, pick_frame_bucket
 
 
 @dataclass
@@ -100,15 +102,25 @@ class BatchSynthesizer:
         self._thread.join(timeout=5)
 
     # ------------------------------------------------------------------
-    def _runner(self, bucket: int):
-        if bucket not in self._cache:
-            if self.multistream:
-                max_frames = min(bucket * 48, 4096)
+    def _runner(self, bucket: int, max_frames: int | None = None):
+        if self.multistream:
+            key = ("ms", bucket)
+            if key not in self._cache:
+                cap = min(bucket * 48, 4096)
                 n_timesteps = int(self.model.config.get("inference", {}).get("n_timesteps", 10))
-                self._cache[bucket] = api.make_multistream_runner(self.model, max_frames, n_timesteps)
-            else:
-                self._cache[bucket] = api.make_vits2_runner(self.model, bucket * FRAMES_PER_TOKEN)
-        return self._cache[bucket]
+                self._cache[key] = api.make_multistream_runner(self.model, cap, n_timesteps)
+        else:
+            if max_frames is None:
+                max_frames = bucket * FRAMES_PER_TOKEN
+            key = (bucket, max_frames)
+            if key not in self._cache:
+                self._cache[key] = api.make_vits2_runner(self.model, max_frames)
+        return self._cache[key]
+
+    def _frames_runner(self):
+        if "frames" not in self._cache:
+            self._cache["frames"] = api.make_vits2_frames_runner(self.model)
+        return self._cache["frames"]
 
     def _loop(self):
         while not self._stop.is_set():
@@ -155,11 +167,11 @@ class BatchSynthesizer:
 
     def _run_batch(self, items):
         bucket, bsz = self._batch_geometry(items)
-        run = self._runner(bucket)
         self._rng, rng = jax.random.split(self._rng)
         noise, inv_rate, dur_noise = self._scales(items, bsz)
 
         if self.multistream:
+            run = self._runner(bucket)
             bert_dim = self.model.model_config.bert_dim
             x = np.zeros((bsz, 5, bucket), np.int32)
             x_lengths = np.ones((bsz,), np.int32)
@@ -191,10 +203,18 @@ class BatchSynthesizer:
                 x[i, : len(ids)] = ids
                 x_lengths[i] = len(ids)
                 sid[i] = it.sid
-            out = run(
-                self.model.params, jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid),
-                rng, noise, inv_rate, dur_noise,
-            )
+            xj, xlj, sidj = jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid)
+            # duration-adaptive decode bucket: predict frames with the cheap
+            # first pass, decode into the smallest compiled bucket; the same
+            # rng reproduces the predicted durations in the decode graph
+            if os.environ.get("VOSK_TTS_ADAPTIVE", "1") == "0":
+                max_frames = bucket * FRAMES_PER_TOKEN
+            else:
+                pred = self._frames_runner()(
+                    self.model.params, xj, xlj, sidj, rng, inv_rate, dur_noise)
+                max_frames = pick_frame_bucket(int(np.max(np.asarray(pred))), bucket)
+            run = self._runner(bucket, max_frames)
+            out = run(self.model.params, xj, xlj, sidj, rng, noise, inv_rate, dur_noise)
             wavs = np.asarray(out["wav"])[..., 0]
             lengths = np.asarray(out["wav_lengths"])
 

@@ -64,6 +64,7 @@ def build_configs(cfg: dict):
         learning_rate=train.get("learning_rate", 1e-4),
         weight_decay=train.get("weight_decay", 0.0),
         grad_clip=train.get("grad_clip", 5.0),
+        accumulate=train.get("accumulate", 4),
         cfg_dropout=train.get("cfg_dropout", 0.1),
     )
     return dcfg, mcfg, tcfg

@@ -2,7 +2,11 @@
 training/stabletts/matcha/train.py + baselightningmodule.py).
 
 Single AdamW optimizer over the decoder (+optionally encoder/dp), gradient
-clipping 5.0 and accumulation 4 as configs/trainer/default.yaml."""
+clipping 5.0 and accumulation 4 as configs/trainer/default.yaml
+(accumulate_grad_batches).  Accumulation is ``optax.MultiSteps``: each call
+of the train step consumes one micro-batch; the averaged gradient is applied
+every ``accumulate`` micro-steps (zero updates in between), exactly
+Lightning's accumulate_grad_batches semantics."""
 
 from __future__ import annotations
 
@@ -26,12 +30,18 @@ class StableTrainConfig:
 
 
 def make_optimizer(tcfg: StableTrainConfig):
-    return optax.chain(
+    base = optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.inject_hyperparams(optax.adamw)(
             learning_rate=tcfg.learning_rate, weight_decay=tcfg.weight_decay
         ),
     )
+    if tcfg.accumulate > 1:
+        # clip-then-accumulate matches Lightning: it clips the *applied*
+        # gradient; MultiSteps averages micro-grads and feeds base.update
+        # once per cycle, so clipping sees the averaged gradient.
+        return optax.MultiSteps(base, every_k_schedule=tcfg.accumulate)
+    return base
 
 
 def init_train_state(key, mcfg: S.StableTTSConfig, tcfg: StableTrainConfig):

@@ -106,9 +106,12 @@ def lr_at_epoch(tcfg: TrainConfig, epoch: int) -> float:
 
 
 def set_lr(state, lr):
-    """Update the injected learning rate in every optimizer state."""
+    """Update the injected learning rate in every optimizer state.
+
+    All four optimizers (G, D, durD, and the WavLM/SLM discriminator) share
+    one ExponentialLR schedule in the reference (train_ms.py:283-295)."""
     out = dict(state)
-    for k in ("opt_g", "opt_d", "opt_dur"):
+    for k in ("opt_g", "opt_d", "opt_dur", "opt_wd"):
         if k in state:
             s = state[k]
             s.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
