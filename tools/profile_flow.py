@@ -60,12 +60,14 @@ def main():
 
     layer = params["flow"]["flows"][0]
 
-    timeit("flow_reverse (4 flows)",
-           lambda z: vits2.flow_block_apply(params["flow"], cfg, z, y_mask, g, reverse=True),
+    timeit("flow_reverse (4 flows, flash)",
+           lambda z: vits2.flow_block_apply(params["flow"], cfg, z, y_mask, g, reverse=True,
+                                            flash=True),
            z_p)
 
-    timeit("one flow layer",
-           lambda z: vits2._flow_layer_apply(layer, cfg, "pre_conv2", z, y_mask, g, True),
+    timeit("one flow layer (flash)",
+           lambda z: vits2._flow_layer_apply(layer, cfg, "pre_conv2", z, y_mask, g, True,
+                                             flash=True),
            z_p)
 
     timeit("pre conv 96->192 k1 (sliced back)",
@@ -78,6 +80,12 @@ def main():
            hid)
 
     attn_mask = y_mask[:, None, :, 0][..., None, :] * y_mask[:, None, :, 0][..., :, None]
+    kv_len = jnp.sum(y_mask[..., 0].astype(jnp.int32), axis=1)
+    timeit("mha_apply flash",
+           lambda x: att.mha_apply(layer["pre_transformer"]["attn"][0], x, x, attn_mask,
+                                   n_heads=2, window_size=4, flash=True, kv_len=kv_len),
+           hid)
+
     timeit("mha_apply alone",
            lambda x: att.mha_apply(layer["pre_transformer"]["attn"][0], x, x, attn_mask,
                                    n_heads=2, window_size=4),

@@ -110,12 +110,15 @@ def main():
     lp = jnp.einsum("byt,btc->byc", attn, logs_p)
     z_p = mp + jax.random.normal(jax.random.PRNGKey(3), mp.shape, mp.dtype) * jnp.exp(lp) * 0.667
 
-    # 4. flow reverse: carry = z_p (shape-preserving, no dep trick needed)
+    # 4. flow reverse: carry = z_p (shape-preserving, no dep trick needed).
+    # flash=True as in the real infer graph (vits2.infer) — without it the
+    # full (B,H,T,T) attention dominates and the number is meaningless.
     timeit("flow_reverse",
-           lambda c: vits2.flow_block_apply(params["flow"], cfg, c, y_mask, g, reverse=True),
+           lambda c: vits2.flow_block_apply(params["flow"], cfg, c, y_mask, g,
+                                            reverse=True, flash=True),
            z_p)
 
-    z = vits2.flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True)
+    z = vits2.flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
 
     # 5. full generator: carry = z
     def gen_stage(c):

@@ -48,11 +48,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Places every array in the batch dict with its leading axis on 'data'."""
+    """Places every array in the batch dict with its leading axis on 'data'.
+
+    Multi-process (after ``jax.distributed.initialize``): each process passes
+    its HOST-LOCAL rows and the result is the concatenated GLOBAL batch —
+    the host-sharded data loading that replaces the reference's rank-sliced
+    DistributedBucketSampler (train_ms.py:74-77)."""
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(s, np.asarray(v))
+                for k, v in batch.items()}
     return {k: jax.device_put(v, s) for k, v in batch.items()}
 
 
 def replicate_params(mesh: Mesh, params):
     r = replicated(mesh)
+    if jax.process_count() > 1:
+        # every process holds identical values (same PRNG init / checkpoint);
+        # assemble them as one fully-replicated global array per leaf
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(r, np.asarray(x)), params)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), params)

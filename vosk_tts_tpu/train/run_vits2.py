@@ -107,7 +107,25 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--log-interval", type=int, default=None)
     ap.add_argument("--save-interval-steps", type=int, default=None)
+    # multi-host: run the same script on every host (replaces the reference's
+    # mp.spawn + init_process_group, train_ms.py:52-77). With no flags,
+    # jax.distributed.initialize() auto-detects cluster env (TPU pods);
+    # --dist-coordinator pins it explicitly (tests / ad-hoc CPU clusters).
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() (auto-detect)")
+    ap.add_argument("--dist-coordinator", default=None, help="host:port")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args(argv)
+
+    if args.dist_coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id,
+        )
+    elif args.distributed:
+        jax.distributed.initialize()
 
     logging.basicConfig(level=logging.INFO)
     from ..utils.repro import check_git_hash
@@ -123,7 +141,8 @@ def main(argv=None):
 
     n_hosts = jax.process_count()
     host_id = jax.process_index()
-    mesh = M.data_mesh_for_batch(batch_size)
+    # global batch = per-host batch x hosts (the batcher yields host-local rows)
+    mesh = M.data_mesh_for_batch(batch_size * n_hosts)
 
     dataset = TTSDataset(dcfg)
     batcher = BucketBatcher(dataset, batch_size, host_id=host_id, num_hosts=n_hosts)
