@@ -158,6 +158,87 @@ def test_cfm_loss_decreases(corpus):
     assert int(state["step"]) == 40
 
 
+def test_bootstrap_stats_and_durations(tmp_path):
+    """tools/stabletts_bootstrap (VERDICT r2 missing-1): dataset mel stats
+    match the generate_data_statistics.py formula, and MAS durations from a
+    trained checkpoint produce .lab files the data pipeline trains from
+    end-to-end (get_durations_from_trained_model_new.py equivalent)."""
+    import jax.numpy as jnp
+
+    sys_tools = os.path.join(os.path.dirname(__file__), "..", "tools")
+    import sys
+
+    sys.path.insert(0, sys_tools)
+    try:
+        from stabletts_bootstrap import compute_stats, run_durations
+    finally:
+        sys.path.remove(sys_tools)
+
+    from vosk_tts_tpu.utils import checkpoint as ckpt
+
+    # fresh corpus (no .lab files yet — that's what the tool creates)
+    root = tmp_path / "corpus"
+    root.mkdir()
+    meta_lines = []
+    for i, aligned in enumerate(ALIGNED):
+        _write_wav(root / f"utt{i}.wav", 256 * (40 + 8 * i), seed=i)
+        meta_lines.append(f"utt{i}|{i % 2}|dummy text {i}|{aligned}")
+    (root / "metadata.csv").write_text("\n".join(meta_lines) + "\n", encoding="utf-8")
+
+    cfg_json = {
+        "data": {"training_files": str(root / "metadata.csv"), "wav_dir": str(root),
+                 "n_spks": 2},
+        "model": {"spk_emb_dim": 8, "hidden_channels": 32, "filter_channels": 64,
+                  "n_heads": 2, "n_layers": 1, "phone_emb_dim": 16,
+                  "punc_emb_dim": 2, "bert_proj_dim": 8, "dec_hidden": 32,
+                  "dec_filter": 64, "dec_layers": 2, "dec_heads": 2},
+        "train": {"batch_size": 3, "accumulate": 1},
+    }
+
+    # ---- stats: manual reference-formula recomputation must agree --------
+    stats = compute_stats(cfg_json)
+    assert np.isfinite(stats["mel_mean"]) and stats["mel_std"] > 0
+    from vosk_tts_tpu.ops.stft import mel_spectrogram
+    from vosk_tts_tpu.train.data import load_wav
+
+    mels = []
+    for i in range(len(ALIGNED)):
+        data, sr = load_wav(str(root / f"utt{i}.wav"))
+        mels.append(np.asarray(mel_spectrogram(
+            (data / 32768.0)[None, :], 1024, 80, 22050, 256, 1024, 0.0, 8000.0))[0])
+    allm = np.concatenate(mels, axis=0)
+    assert stats["mel_mean"] == pytest.approx(float(allm.mean()), rel=1e-6)
+    assert stats["mel_std"] == pytest.approx(float(allm.std()), rel=1e-4)
+
+    # ---- durations: checkpoint -> MAS -> .lab -> trainable ---------------
+    cfg_json["data"]["mel_mean"] = stats["mel_mean"]
+    cfg_json["data"]["mel_std"] = stats["mel_std"]
+    from vosk_tts_tpu.train.run_stabletts import build_configs
+
+    dcfg2, mcfg2, tcfg2 = build_configs(cfg_json)
+    model_dir = tmp_path / "ckpt"
+    state = T.init_train_state(jax.random.PRNGKey(3), mcfg2, tcfg2)
+    ckpt.save_full_state(str(model_dir), "STATE", 1, jax.device_get(state))
+
+    n = run_durations(cfg_json, str(model_dir), batch_size=3)
+    assert n == len(ALIGNED)
+
+    ds = StableTTSDataset(dcfg2)
+    for i in range(len(ds)):
+        durs = ds.durations(i)
+        x, _ = ds.text_streams(i)
+        assert len(durs) == x.shape[0]            # one duration per phone
+        assert sum(durs) == ds.mel(i).shape[0]    # MAS covers every frame
+        assert all(d >= 0 for d in durs)
+
+    # the bootstrapped corpus trains end-to-end
+    batcher = StableBatcher(ds, batch_size=3, shuffle=False)
+    batch = next(iter(batcher))
+    step = jax.jit(T.make_train_step(mcfg2, tcfg2))
+    state2, metrics = step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_grad_accumulation_equivalence(corpus):
     """accumulate=4 (optax.MultiSteps) == one base-optimizer update with the
     mean of the 4 micro-batch gradients, with zero movement in between —
