@@ -224,3 +224,60 @@ def test_plotting():
     assert img.ndim == 3 and img.shape[-1] == 3
     img2 = plot_alignment_to_numpy(np.random.rand(50, 20))
     assert img2.ndim == 3
+
+
+def test_cut_text_semantics():
+    """cut4 + merge_short_text_in_array behavior (inference_cli.py:137-161)."""
+    from vosk_tts_tpu.pipelines import cut_text
+
+    # plain sentence split
+    assert cut_text("Первое предложение. Второе предложение.") == \
+        ["Первое предложение", " Второе предложение"]
+    # short chunks merge forward until >= threshold
+    assert cut_text("Да. Нет. Длинное предложение тут.") == \
+        ["Да Нет", " Длинное предложение тут"]
+    # trailing short chunk merges back into the last result
+    assert cut_text("Длинное предложение тут. Да") == \
+        ["Длинное предложение тут Да"]
+    # single chunk passes through
+    assert cut_text("Привет") == ["Привет"]
+    # empty-ish input
+    assert cut_text(" . . ") == []
+
+
+def test_clone_tts_long_smoke(rng):
+    """Multi-sentence cloning: chunked synthesis + 0.3 s silence joins."""
+    from vosk_tts_tpu import pipelines
+    from vosk_tts_tpu.models import gpt_sovits as G
+    from vosk_tts_tpu.models import hubert as H
+    from vosk_tts_tpu.text.cleaner import Cleaner, gpt_sovits_symbols
+
+    hcfg = H.HubertConfig(hidden_size=16, num_hidden_layers=1, num_attention_heads=2,
+                          intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 4),
+                          conv_stride=(5, 4), num_conv_pos_embeddings=8, num_conv_pos_embedding_groups=2)
+    hparams = H.hubert_init(jax.random.PRNGKey(0), hcfg)
+    n_sym = len(gpt_sovits_symbols())
+    ar_cfg = G.ARConfig(embedding_dim=24, hidden_dim=24, num_head=2, num_layers=1,
+                        vocab_size=21, phoneme_vocab_size=n_sym, bert_dim=16, eos=20)
+    ar_params = G.ar_init(jax.random.PRNGKey(1), ar_cfg)
+    s_cfg = G.SoVITSConfig(spec_channels=65, inter_channels=32, hidden_channels=32,
+                           filter_channels=48, n_layers=4, upsample_initial_channel=64,
+                           upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16),
+                           gin_channels=32, ssl_dim=16, n_codes=20, n_symbols=n_sym,
+                           mrte_hidden=32, style_hidden=16)
+    s_params = G.sovits_init(jax.random.PRNGKey(2), s_cfg)
+
+    ref_wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    ref_spec = rng.standard_normal((25, 65)).astype(np.float32)
+
+    sr = 16  # tiny "sample rate" so the silence gap is short
+    wav, n = pipelines.clone_tts_long(
+        ar_params, ar_cfg, s_params, s_cfg, hparams, hcfg,
+        "Привет мир. Да. Это длинная фраза для проверки.",
+        ref_wav, ref_spec, frontend=Cleaner(), rng=jax.random.PRNGKey(3),
+        prompt_text="Пример голоса.", max_new=8, sample_rate=sr, silence_s=0.3)
+    assert n > 0 and wav.ndim == 1 and np.isfinite(wav).all()
+    # at least two chunks -> at least two silence joins of 0.3*sr samples
+    silence = int(0.3 * sr)
+    assert len(wav) > 2 * silence
+    assert (wav[-silence:] == 0).all()  # ends with the trailing silence

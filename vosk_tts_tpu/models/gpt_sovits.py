@@ -309,10 +309,16 @@ def ar_infer(
     top_p: float = 1.0,
     temperature: float = 1.0,
     repetition_penalty: float = 1.35,
+    x_len=None,
 ):
     """infer_panel (t2s_model.py:324-447) as prefill + while_loop decode.
 
     Returns (tokens (1, max_new), n_generated) — tokens beyond n are EOS-pad.
+
+    x_len: true text length when x_ids is right-padded to a bucket; padded
+    positions are masked out of every attention (prefill bias + decode key
+    mask), so the sampled tokens are bit-identical to an unpadded run with
+    the same rng — one compilation per (text bucket, max_new) class.
     """
     params = jax.tree_util.tree_map(jnp.asarray, params)  # traced indexing needs jnp
     t_x = x_ids.shape[1]
@@ -320,6 +326,8 @@ def ar_infer(
     max_t = t_x + t_p + max_new + 1
     h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
     n_layers = cfg.num_layers
+    if x_len is None:
+        x_len = t_x
 
     x, y = _embed_inputs(params, cfg, x_ids, bert, prompts)
     xy = jnp.concatenate([x, y], axis=1)  # (1, Tx+Tp, D)
@@ -328,7 +336,7 @@ def ar_infer(
     # ---- prefill: full pass, stash K/V into the static cache ----
     cache_k = jnp.zeros((n_layers, 1, max_t, h, dk))
     cache_v = jnp.zeros((n_layers, 1, max_t, h, dk))
-    bias = joint_mask(cfg, t_x, t_p, jnp.asarray([t_x]))
+    bias = joint_mask(cfg, t_x, t_p, jnp.asarray([x_len]))
     cur = xy
     for li, layer in enumerate(params["layers"]):
         qkv = cur @ layer["qkv"]["w"] + layer["qkv"]["b"]
@@ -358,7 +366,8 @@ def ar_infer(
         emb = params["audio_emb"][last][None, None, :]
         pe = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
         emb = emb + params["audio_alpha"] * lax.dynamic_slice(pe, (y_idx, 0), (1, cfg.embedding_dim))[None]
-        key_mask = (jnp.arange(max_t) <= pos)[None, :]
+        idx = jnp.arange(max_t)
+        key_mask = ((idx <= pos) & ((idx < x_len) | (idx >= t_x)))[None, :]
         cur = emb
         for li, layer in enumerate(params["layers"]):
             cur, cache_k, cache_v = _layer_step(layer, cfg, cur, cache_k, cache_v, li, pos, key_mask)
@@ -581,10 +590,17 @@ def sovits_extract_latent(params, cfg: SoVITSConfig, ssl: jax.Array) -> jax.Arra
 
 
 def sovits_decode(params, cfg: SoVITSConfig, codes, text, text_lengths, refer, refer_lengths,
-                  *, rng, noise_scale: float = 0.5):
+                  *, rng, noise_scale: float = 0.5, code_lengths=None):
     """Semantic tokens -> waveform (module/models.py:961-988).
 
-    codes: (B, Tc); text: (B, Tt); refer: (B, Tr, spec_channels)."""
+    codes: (B, Tc); text: (B, Tt); refer: (B, Tr, spec_channels).
+
+    code_lengths (B,) allows ``codes`` to be padded to a bucketed Tc: padded
+    frames are masked at every stage (incl. inside the HiFiGAN decoder), so
+    samples < code_length * upsample_factor() are bit-identical to an
+    unpadded decode — one XLA compilation per (Tc, Tt) shape class instead
+    of one per utterance (reference inference_cli.py:255-260 re-runs the
+    dynamic-length graph per chunk)."""
     from ..ops.commons import sequence_mask
     from .vits2 import flow_block_apply, generator_apply
 
@@ -592,18 +608,33 @@ def sovits_decode(params, cfg: SoVITSConfig, codes, text, text_lengths, refer, r
     ge = mel_style_encoder_apply(params["ref_enc"], cfg, refer * refer_mask, refer_mask)
 
     quantized = rvq_decode(params["codebook"], codes)  # (B, Tc, 768)
-    if cfg.semantic_frame_rate == "25hz":
+    up = 2 if cfg.semantic_frame_rate == "25hz" else 1
+    if up == 2:
         quantized = jnp.repeat(quantized, 2, axis=1)  # nearest x2 upsample
     t_q = quantized.shape[1]
-    y_lengths = jnp.minimum(jnp.full((codes.shape[0],), t_q, jnp.int32), t_q)
+    if code_lengths is None:
+        y_lengths = jnp.full((codes.shape[0],), t_q, jnp.int32)
+    else:
+        y_lengths = code_lengths.astype(jnp.int32) * up
 
     x, m_p, logs_p, y_mask = _sovits_enc_p(params["enc_p"], cfg, quantized, y_lengths, t_q,
                                            text, text_lengths, ge)
     z_p = m_p + jax.random.normal(rng, m_p.shape) * jnp.exp(logs_p) * noise_scale
+    z_p = z_p * y_mask
     v = cfg.as_vits2()
     z = flow_block_apply(params["flow"], v, z_p, y_mask, ge[:, None, :], reverse=True)
-    o, _ = generator_apply(params["dec"], v, z * y_mask, ge[:, None, :])
+    o, _ = generator_apply(params["dec"], v, z * y_mask, ge[:, None, :],
+                           x_lengths=None if code_lengths is None else y_lengths)
     return o[..., 0]
+
+
+def upsample_factor(cfg: SoVITSConfig) -> int:
+    """Audio samples per semantic code (frame-rate x2 for 25hz, then the
+    HiFiGAN upsample stack)."""
+    up = 2 if cfg.semantic_frame_rate == "25hz" else 1
+    for u in cfg.upsample_rates:
+        up *= u
+    return up
 
 
 def sovits_forward_train(params, cfg: SoVITSConfig, ssl, spec, spec_lengths, text, text_lengths, *, rng):

@@ -564,10 +564,20 @@ def generator_init(key, cfg: VITS2Config):
     raise ValueError(cfg.decoder_type)
 
 
-def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False):
+def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False,
+                     x_lengths=None):
+    """x_lengths (B,) enables padded-frame masking: every conv input is
+    re-zeroed beyond the true length, so positions < length are bit-identical
+    to an unpadded run (torch 'same' zero-padding semantics) — the contract
+    behind bucketed ``sovits_decode``/``infer`` shapes."""
+    lengths = x_lengths
+    mask = (None if lengths is None
+            else sequence_mask(lengths, x.shape[1]).astype(x.dtype)[..., None])
     x = conv1d(x, params["conv_pre"]["w"], params["conv_pre"]["b"], padding=3)
     if g is not None and "cond" in params:
         x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
+    if mask is not None:
+        x = x * mask
     n_kernels = len(cfg.resblock_kernel_sizes)
     resblock_apply = wnops.resblock1_apply if cfg.resblock == "1" else wnops.resblock2_apply
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
@@ -576,9 +586,14 @@ def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = F
         opad = cfg.upsample_output_paddings[i] if cfg.upsample_output_paddings else 0
         x = conv_transpose1d(x, params["ups"][i]["w"], params["ups"][i]["b"], stride=u,
                              padding=pad, output_padding=opad)
+        if lengths is not None:
+            lengths = lengths * u
+            mask = sequence_mask(lengths, x.shape[1]).astype(x.dtype)[..., None]
+            x = x * mask
         # Pallas fused res-pair kernel (ops/mrf.py): inference-only (no VJP),
-        # resblock1 geometry, lane-aligned channels, block-aligned T.
-        use_fused = (fused_mrf and cfg.resblock == "1"
+        # resblock1 geometry, lane-aligned channels, block-aligned T,
+        # mask-free path only (masked padding needs per-conv re-zeroing).
+        use_fused = (fused_mrf and cfg.resblock == "1" and mask is None
                      and mrf.supported(x.shape[1], x.shape[2]))
         xs = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
@@ -586,7 +601,7 @@ def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = F
             if use_fused:
                 r = mrf.resblock1_apply_fused(rb, x, kernel_size=rk, dilation=tuple(rd))
             else:
-                r = resblock_apply(rb, x, None, kernel_size=rk, dilation=tuple(rd))
+                r = resblock_apply(rb, x, mask, kernel_size=rk, dilation=tuple(rd))
             xs = r if xs is None else xs + r
         x = xs / n_kernels
     # final activation uses torch's default slope 0.01, not LRELU_SLOPE
@@ -600,20 +615,26 @@ def _spec_phase(x, n_fft):
     return spec, phase
 
 
-def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False):
+def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False,
+                    x_lengths=None):
     """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None).
 
     fused_mrf routes the MRF resblocks through the Pallas kernel
-    (inference-only: pallas_call has no VJP here)."""
+    (inference-only: pallas_call has no VJP here).
+
+    x_lengths (B,) masks padded input frames at every conv so that, for the
+    hifigan decoder, output samples < length * prod(upsample_rates) are
+    bit-identical to decoding the unpadded input (bucketed-decode contract;
+    iSTFT decoders are exact except the last ~n_fft overlap-add tail)."""
     n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
     inverse = istft if cfg.istft_mode == "torch" else istft_onnx
 
     if cfg.decoder_type == "hifigan":
-        x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf)
+        x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf, x_lengths=x_lengths)
         x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
         return jnp.tanh(x), None
 
-    x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf)
+    x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf, x_lengths=x_lengths)
     x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")  # ReflectionPad1d((1,0))
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
 

@@ -74,13 +74,170 @@ def clone_tts(
         ar_params, ar_cfg, jnp.asarray(phoneme_ids)[None, :], jnp.asarray(bert)[None],
         prompts, rng=r_ar, top_k=top_k, temperature=temperature, max_new=max_new,
     )
-    n = int(n)
-    codes = tokens[:, :max(n, 1)]
+    n = max(int(n), 1)
+
+    # Bucket the semantic-code length so sovits_decode compiles once per
+    # (code bucket, text length) class, not once per utterance (VERDICT:
+    # dynamic `codes` recompiled per token count).
+    n_codes = bucket_len(n, CODE_BUCKETS)
+    codes = tokens[:, :n_codes]
 
     wav = GS.sovits_decode(
         sovits_params, sovits_cfg, codes,
         jnp.asarray(phoneme_ids)[None, :], jnp.asarray([len(phoneme_ids)], jnp.int32),
         jnp.asarray(ref_spec)[None], jnp.asarray([ref_spec.shape[0]], jnp.int32),
         rng=r_dec, noise_scale=noise_scale,
+        code_lengths=jnp.asarray([n], jnp.int32),
     )
-    return np.asarray(wav)[0], n
+    n_samples = n * GS.upsample_factor(sovits_cfg)
+    return np.asarray(wav)[0, :n_samples], n
+
+
+# ---------------------------------------------------------------------------
+# Long-text cloning (the reference product path: inference_cli.py:164-274
+# cut4 text into sentences, merge short chunks, synthesize each with the
+# prompt-text phonemes prepended, concatenate with 0.3 s silence).
+# ---------------------------------------------------------------------------
+
+#: semantic-code buckets for sovits_decode — multiples small enough that
+#: worst-case padding is ~12% but few enough that the jit cache stays small.
+CODE_BUCKETS = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536)
+
+#: phoneme-length buckets for the AR prefill / decode text conditioning.
+PHONE_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+
+#: splits set of inference_cli.py:122 (the fork's ru/en subset plus the
+#: CJK marks it still recognizes when cutting).
+SPLITS = {"，", "。", "？", "！", ",", ".", "?", "!", "~", ":", "：", "—", "…"}
+
+
+def bucket_len(n: int, buckets) -> int:
+    """Smallest bucket >= n (last bucket if none)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def cut_text(text: str, merge_threshold: int = 5) -> list:
+    """cut4 + merge_short_text_in_array (inference_cli.py:137-161): split on
+    '.', drop the trailing one, then greedily merge chunks shorter than
+    ``merge_threshold`` characters into their successor (tail merges back)."""
+    text = text.strip("\n").strip(".")
+    chunks = [c for c in text.split(".")]
+    if len(chunks) < 2:
+        return [c for c in chunks if c.strip()]
+    merged, cur = [], ""
+    for c in chunks:
+        cur += c
+        if len(cur) >= merge_threshold:
+            merged.append(cur)
+            cur = ""
+    if cur:
+        if merged:
+            merged[-1] += cur
+        else:
+            merged.append(cur)
+    return [c for c in merged if c.strip()]
+
+
+def clone_tts_long(
+    ar_params,
+    ar_cfg: GS.ARConfig,
+    sovits_params,
+    sovits_cfg: GS.SoVITSConfig,
+    hubert_params,
+    hubert_cfg: H.HubertConfig,
+    text: str,
+    ref_wav_16k: np.ndarray,
+    ref_spec: np.ndarray,
+    *,
+    frontend,
+    rng,
+    prompt_text: str | None = None,
+    language: str = "ru",
+    top_k: int = 15,
+    top_p: float = 0.6,
+    temperature: float = 1.0,
+    max_new: int = 600,
+    noise_scale: float = 0.5,
+    sample_rate: int = 32000,
+    silence_s: float = 0.3,
+):
+    """Long-text zero-shot cloning (inference_cli.py get_tts_wav :164-274).
+
+    ``frontend`` is a text/cleaner.Cleaner-style object with
+    ``clean_text(text, language) -> (phones, word2ph, norm_text)`` and
+    ``to_ids(phones) -> list``.
+
+    Per reference semantics:
+      * 0.3 s of silence appended to the reference wav before SSL (:176-193);
+      * text cut into sentences (cut4) and short chunks merged (:203-207);
+      * prompt-text phonemes are prepended for AR conditioning while the
+        SoVITS decode sees only the chunk's phonemes (:221-259);
+      * each chunk peak-normalized if it clips, then concatenated with
+        0.3 s silence (:261-266).
+
+    All device stages run on bucketed shapes (PHONE_BUCKETS x max_new for
+    the AR loop, CODE_BUCKETS for the decode), so a long document compiles
+    a handful of graphs, not one per sentence.
+    """
+    zero = np.zeros(int(16000 * 0.3), np.float32)
+    ssl = H.hubert_apply(hubert_params, hubert_cfg,
+                         jnp.asarray(np.concatenate([ref_wav_16k, zero]))[None, :])
+    prompts = GS.sovits_extract_latent(sovits_params, sovits_cfg, ssl)  # (1, Tp)
+
+    prompt_ids: list = []
+    if prompt_text:
+        phones, _, _ = frontend.clean_text(prompt_text.strip("\n"), language)
+        prompt_ids = frontend.to_ids(phones)
+
+    refer = jnp.asarray(ref_spec)[None]
+    refer_len = jnp.asarray([ref_spec.shape[0]], jnp.int32)
+    silence = np.zeros(int(sample_rate * silence_s), np.float32)
+
+    pieces, n_total = [], 0
+    for chunk in cut_text(text.strip("\n")):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        if chunk[-1] not in SPLITS:
+            chunk += "."
+        phones, _, _ = frontend.clean_text(chunk, language)
+        ids = frontend.to_ids(phones)
+        if not ids:
+            continue
+        ar_ids = prompt_ids + ids
+
+        rng, r_ar, r_dec = jax.random.split(rng, 3)
+        tb = bucket_len(len(ar_ids), PHONE_BUCKETS)
+        x = np.zeros((1, tb), np.int32)
+        x[0, : len(ar_ids)] = ar_ids
+        bert = jnp.zeros((1, tb, ar_cfg.bert_dim))  # zeros for ru/en (:126-139)
+        tokens, n = GS.ar_infer(
+            ar_params, ar_cfg, jnp.asarray(x), bert, prompts, rng=r_ar,
+            top_k=top_k, top_p=top_p, temperature=temperature, max_new=max_new,
+            x_len=len(ar_ids),
+        )
+        n = max(int(n), 1)
+
+        db = bucket_len(len(ids), PHONE_BUCKETS)
+        dec_text = np.zeros((1, db), np.int32)
+        dec_text[0, : len(ids)] = ids
+        codes = tokens[:, : bucket_len(n, CODE_BUCKETS)]
+        wav = GS.sovits_decode(
+            sovits_params, sovits_cfg, codes,
+            jnp.asarray(dec_text), jnp.asarray([len(ids)], jnp.int32),
+            refer, refer_len, rng=r_dec, noise_scale=noise_scale,
+            code_lengths=jnp.asarray([n], jnp.int32),
+        )
+        audio = np.asarray(wav)[0, : n * GS.upsample_factor(sovits_cfg)]
+        peak = np.abs(audio).max()
+        if peak > 1:  # 16-bit clip guard (:261-262)
+            audio = audio / peak
+        pieces.append(audio)
+        pieces.append(silence)
+        n_total += n
+    if not pieces:
+        return np.zeros(0, np.float32), 0
+    return np.concatenate(pieces).astype(np.float32), n_total
