@@ -65,12 +65,21 @@ def eval_rtf(synth, texts, speaker_id=0, warmup=1) -> EvalResult:
 
 
 def _default_embedder():
-    """Default speaker embedder: training-free MFCC+F0 statistics
-    (eval/speaker_embed.py). Inject a trained d-vector/ECAPA model when one
-    is available for numbers comparable to the reference's Resemblyzer."""
-    from .speaker_embed import mfcc_f0_embedding
+    """Default speaker embedder: the committed GE2E-trained LSTM d-vector
+    artifact (eval/speaker_train.py — same architecture + loss family as the
+    reference's Resemblyzer gate, trained on the in-repo synthetic corpus so
+    similarity regressions are detectable across rounds). Falls back to the
+    training-free MFCC+F0 statistics (eval/speaker_embed.py) if the artifact
+    is absent. Inject a real d-vector/ECAPA model for numbers comparable to
+    the published Resemblyzer 0.880 (vc/README.md:24)."""
+    try:
+        from .speaker_train import lstm_embedder
 
-    return mfcc_f0_embedding
+        return lstm_embedder()
+    except (FileNotFoundError, OSError, KeyError):
+        from .speaker_embed import mfcc_f0_embedding
+
+        return mfcc_f0_embedding
 
 
 def speaker_similarity(pairs, sample_rate=22050, embedder=None) -> EvalResult:
