@@ -401,3 +401,33 @@ def test_sovits_decode_bucketed_exact(rng):
     n_samples = n * G.upsample_factor(cfg)
     assert exact.shape[1] == n_samples
     np.testing.assert_allclose(got[:, :n_samples], exact, rtol=2e-5, atol=2e-6)
+
+
+def test_ar_infer_batch_greedy_matches_single(rng):
+    """Each batch row (top_k=1, greedy) must equal its batch-1 run, with
+    per-row text lengths and per-row EOS freezing."""
+    cfg = small_cfg()
+    params = G.ar_init(jax.random.PRNGKey(0), cfg)
+    t_bucket, t_p, max_new = 9, 4, 14
+    lens = [5, 9]
+    xs = np.zeros((2, t_bucket), np.int32)
+    berts = np.zeros((2, t_bucket, cfg.bert_dim), np.float32)
+    for r, L in enumerate(lens):
+        xs[r, :L] = rng.integers(0, cfg.phoneme_vocab_size, size=L)
+        berts[r, :L] = rng.standard_normal((L, cfg.bert_dim))
+    prompts = rng.integers(0, cfg.eos, size=(2, t_p)).astype(np.int32)
+
+    tok_b, n_b = G.ar_infer_batch(
+        params, cfg, jnp.asarray(xs), jnp.asarray(lens, dtype=jnp.int32),
+        jnp.asarray(berts), jnp.asarray(prompts),
+        rng=jax.random.PRNGKey(5), max_new=max_new, top_k=1)
+
+    for r, L in enumerate(lens):
+        tok_1, n_1 = G.ar_infer(
+            params, cfg, jnp.asarray(xs[r : r + 1, :L]),
+            jnp.asarray(berts[r : r + 1, :L]), jnp.asarray(prompts[r : r + 1]),
+            rng=jax.random.PRNGKey(6), max_new=max_new, top_k=1)
+        n1 = int(n_1)
+        assert int(n_b[r]) == n1, (r, int(n_b[r]), n1)
+        np.testing.assert_array_equal(np.asarray(tok_b)[r, :n1],
+                                      np.asarray(tok_1)[0, :n1])

@@ -387,6 +387,103 @@ def ar_infer(
     return tokens[None, :], n
 
 
+def ar_infer_batch(
+    params,
+    cfg: ARConfig,
+    x_ids: jax.Array,  # (B, Tx) text tokens, right-padded to a bucket
+    x_lens: jax.Array,  # (B,) true text lengths
+    bert: jax.Array,  # (B, Tx, bert_dim)
+    prompts: jax.Array,  # (B, Tp) reference semantic tokens (shared length)
+    *,
+    rng: jax.Array,
+    max_new: int = 600,
+    top_k: int = 15,
+    top_p: float = 1.0,
+    temperature: float = 1.0,
+    repetition_penalty: float = 1.35,
+):
+    """Batched infer_panel: every row decodes until its own EOS; finished
+    rows freeze while the loop runs until all rows stop (or max_new).
+
+    Returns (tokens (B, max_new), n (B,)) — per-row EOS-pad beyond n. The
+    reference AR loop is batch-1 (t2s_model.py:324); this serves pod-scale
+    cloning batches with one compilation per (text bucket, Tp, max_new).
+    With top_k=1 each row equals its batch-1 greedy run (tested)."""
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    b, t_x = x_ids.shape
+    t_p = prompts.shape[1]
+    max_t = t_x + t_p + max_new + 1
+    h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
+    n_layers = cfg.num_layers
+
+    x, y = _embed_inputs(params, cfg, x_ids, bert, prompts)
+    xy = jnp.concatenate([x, y], axis=1)  # (B, Tx+Tp, D)
+    t0 = t_x + t_p
+
+    cache_k = jnp.zeros((n_layers, b, max_t, h, dk))
+    cache_v = jnp.zeros((n_layers, b, max_t, h, dk))
+    bias = joint_mask(cfg, t_x, t_p, x_lens)
+    cur = xy
+    for li, layer in enumerate(params["layers"]):
+        qkv = cur @ layer["qkv"]["w"] + layer["qkv"]["b"]
+        _, k, v = jnp.split(qkv, 3, axis=-1)
+        cache_k = cache_k.at[li, :, :t0].set(k.reshape(b, t0, h, dk))
+        cache_v = cache_v.at[li, :, :t0].set(v.reshape(b, t0, h, dk))
+        cur = _layer_full(layer, cfg, cur, bias)
+    logits0 = cur[:, -1] @ params["predict"]["w"]  # (B, V)
+    logits0 = logits0.at[:, cfg.eos].set(-jnp.inf)
+
+    sample_v = jax.vmap(
+        lambda r, lg, pm: sample_logits(r, lg, pm, top_k=top_k, top_p=top_p,
+                                        repetition_penalty=repetition_penalty,
+                                        temperature=temperature))
+
+    prev_mask0 = jnp.zeros((b, cfg.vocab_size), bool)
+    prev_mask0 = prev_mask0.at[jnp.arange(b)[:, None], prompts].set(t_p > 0)
+    rng, r0 = jax.random.split(rng)
+    first = sample_v(jax.random.split(r0, b), logits0, prev_mask0).astype(jnp.int32)
+
+    tokens0 = jnp.full((b, max_new), cfg.eos, jnp.int32).at[:, 0].set(first)
+    idx_t = jnp.arange(max_t)
+
+    def cond(state):
+        i, done, *_ = state
+        return (i < max_new) & ~jnp.all(done)
+
+    def body(state):
+        i, done, tokens, cache_k, cache_v, prev_mask, rng = state
+        last = tokens[:, i - 1]  # (B,)
+        pos = t0 + i - 1
+        y_idx = t_p + i - 1
+        emb = params["audio_emb"][last][:, None, :]
+        pe = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
+        emb = emb + params["audio_alpha"] * lax.dynamic_slice(
+            pe, (y_idx, 0), (1, cfg.embedding_dim))[None]
+        key_mask = (idx_t[None, :] <= pos) & (
+            (idx_t[None, :] < x_lens[:, None]) | (idx_t[None, :] >= t_x))
+        cur = emb
+        for li, layer in enumerate(params["layers"]):
+            cur, cache_k, cache_v = _layer_step(layer, cfg, cur, cache_k, cache_v,
+                                                li, pos, key_mask)
+        logits = cur[:, -1] @ params["predict"]["w"]  # (B, V)
+        prev_mask = prev_mask.at[jnp.arange(b), last].set(True)
+        rng, r = jax.random.split(rng)
+        nxt = sample_v(jax.random.split(r, b), logits, prev_mask).astype(jnp.int32)
+        is_eos = (jnp.argmax(logits, axis=-1) == cfg.eos) | (nxt == cfg.eos)
+        nxt = jnp.where(done | is_eos, cfg.eos, nxt)
+        tokens = tokens.at[:, i].set(nxt)
+        return (i + 1, done | is_eos, tokens, cache_k, cache_v, prev_mask, rng)
+
+    state = (jnp.asarray(1), first == cfg.eos, tokens0, cache_k, cache_v,
+             prev_mask0.at[jnp.arange(b), first].set(True), rng)
+    i, done, tokens, *_ = lax.while_loop(cond, body, state)
+    # per-row n: first EOS position (the EOS itself is dropped, :447)
+    is_eos_tok = tokens == cfg.eos
+    n = jnp.where(jnp.any(is_eos_tok, axis=1),
+                  jnp.argmax(is_eos_tok, axis=1), i)
+    return tokens, n.astype(jnp.int32)
+
+
 # ===========================================================================
 # Stage 2 — SoVITS token-to-waveform decoder (training/gpt-sovits/module/)
 # ===========================================================================
