@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from ..ops import attention as att
 from ..ops import flows as fl
-from ..ops import mrf
 from ..ops import wn as wnops
 from ..ops.commons import fused_gate, generate_path, rand_slice_segments, sequence_mask
 from ..ops.conv import conv1d, conv_transpose1d
@@ -564,8 +563,7 @@ def generator_init(key, cfg: VITS2Config):
     raise ValueError(cfg.decoder_type)
 
 
-def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False,
-                     x_lengths=None):
+def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, x_lengths=None):
     """x_lengths (B,) enables padded-frame masking: every conv input is
     re-zeroed beyond the true length, so positions < length are bit-identical
     to an unpadded run (torch 'same' zero-padding semantics) — the contract
@@ -590,18 +588,15 @@ def _generator_trunk(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = F
             lengths = lengths * u
             mask = sequence_mask(lengths, x.shape[1]).astype(x.dtype)[..., None]
             x = x * mask
-        # Pallas fused res-pair kernel (ops/mrf.py): inference-only (no VJP),
-        # resblock1 geometry, lane-aligned channels, block-aligned T,
-        # mask-free path only (masked padding needs per-conv re-zeroing).
-        use_fused = (fused_mrf and cfg.resblock == "1" and mask is None
-                     and mrf.supported(x.shape[1], x.shape[2]))
+        # MRF resblocks stay on the XLA conv lowering: measured at the bench
+        # shapes it runs at 191 TFLOP/s (stage0) / 156 (stage1) — at or near
+        # the 186 TFLOP/s matmul anchor. Two Pallas formulations lost to it
+        # (per-tap 30.4 ms vs 13.9; implicit-GEMM rejected by Mosaic on v5e:
+        # bf16 rotate + offset-concat unimplemented). See SPEED_OF_LIGHT.md.
         xs = None
         for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
             rb = params["resblocks"][i * n_kernels + j]
-            if use_fused:
-                r = mrf.resblock1_apply_fused(rb, x, kernel_size=rk, dilation=tuple(rd))
-            else:
-                r = resblock_apply(rb, x, mask, kernel_size=rk, dilation=tuple(rd))
+            r = resblock_apply(rb, x, mask, kernel_size=rk, dilation=tuple(rd))
             xs = r if xs is None else xs + r
         x = xs / n_kernels
     # final activation uses torch's default slope 0.01, not LRELU_SLOPE
@@ -615,12 +610,8 @@ def _spec_phase(x, n_fft):
     return spec, phase
 
 
-def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = False,
-                    x_lengths=None):
+def generator_apply(params, cfg: VITS2Config, x, g=None, *, x_lengths=None):
     """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None).
-
-    fused_mrf routes the MRF resblocks through the Pallas kernel
-    (inference-only: pallas_call has no VJP here).
 
     x_lengths (B,) masks padded input frames at every conv so that, for the
     hifigan decoder, output samples < length * prod(upsample_rates) are
@@ -630,11 +621,11 @@ def generator_apply(params, cfg: VITS2Config, x, g=None, *, fused_mrf: bool = Fa
     inverse = istft if cfg.istft_mode == "torch" else istft_onnx
 
     if cfg.decoder_type == "hifigan":
-        x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf, x_lengths=x_lengths)
+        x = _generator_trunk(params, cfg, x, g, x_lengths=x_lengths)
         x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
         return jnp.tanh(x), None
 
-    x = _generator_trunk(params, cfg, x, g, fused_mrf=fused_mrf, x_lengths=x_lengths)
+    x = _generator_trunk(params, cfg, x, g, x_lengths=x_lengths)
     x = jnp.pad(x, ((0, 0), (1, 0), (0, 0)), mode="reflect")  # ReflectionPad1d((1,0))
     x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
 
@@ -759,15 +750,7 @@ def infer(
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
-    # Fused Pallas MRF is opt-in: measured on v5e it UNDERPERFORMS the XLA
-    # conv lowering (58.4 vs 38.5 ms full generator at batch16/2048 — the
-    # per-tap (rows,C)@(C,C) matmuls under-utilize the MXU). Kept as a
-    # correct, tested baseline for future kernel work (ops/mrf.py).
-    import os as _os
-
-    use_fused = bool(_os.environ.get("VOSK_TTS_FUSED_MRF"))
-    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g,
-                                  fused_mrf=use_fused)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
 
     up = cfg.upsample_factor
     return {

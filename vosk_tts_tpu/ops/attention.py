@@ -186,12 +186,11 @@ def mha_apply(
     )
     if use_flash:
         qs = q * (k_channels**-0.5)
-        band = jnp.einsum("bhld,hmd->bhlm", qs, params["emb_rel_k"])
         if kv_len is None:
             kv_len = jnp.full((b,), t_s, jnp.int32)
-        out, bp = fa.banded_flash_attention(qs, k, v, band, kv_len,
-                                            window=window_size, interpret=fa.INTERPRET)
-        out = out + jnp.einsum("bhlm,hmd->bhld", bp, params["emb_rel_v"])
+        out = fa.banded_flash_attention(qs, k, v, params["emb_rel_k"],
+                                        params["emb_rel_v"], kv_len,
+                                        window=window_size, interpret=fa.INTERPRET)
         out = out.transpose(0, 2, 1, 3).reshape(b, t_t, channels)
         return conv1d(out, params["o"]["w"], params["o"]["b"])
 
