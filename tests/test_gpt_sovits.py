@@ -14,6 +14,21 @@ import oracle
 from vosk_tts_tpu.models import gpt_sovits as G
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _restore_torch_mha():
+    """The reference's ar/modules/activation.py:17 REPLACES
+    torch.nn.functional.multi_head_attention_forward globally at import with
+    its KV-cache fork (which NameErrors on this torch version when invoked
+    through other libraries). Restore the pristine function after this
+    module so transformers models (e.g. WavLM in test_wavlm.py) keep
+    working in the same pytest process."""
+    import torch.nn.functional as F
+
+    orig = F.multi_head_attention_forward
+    yield
+    F.multi_head_attention_forward = orig
+
+
 def oracle_ar():
     import builtins
     import importlib
