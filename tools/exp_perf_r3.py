@@ -66,6 +66,31 @@ def main():
         timeit("flow_reverse x4 (v3)", lambda c: vits2.flow_block_apply(
             params["flow"], cfg, c, x_mask, g, reverse=True, flash=True), x_full)
 
+    # ---- 1b: flash block_q sweep (raw kernel, flow shapes) ----
+    if os.environ.get("EXP_BLOCK_SWEEP"):
+        from vosk_tts_tpu.ops import flash_attention as fa
+        d = h // 2
+        qkv = jax.random.normal(jax.random.PRNGKey(9), (3, B, 2, T, d), act)
+        relt = jax.random.normal(jax.random.PRNGKey(10), (1, 9, d), act)
+        lens = jnp.full((B,), T, jnp.int32)
+        for bq in (128, 256, 512, 1024):  # 2048 exceeds scoped VMEM (23.8M/16M)
+            def fn(c, bq=bq):
+                out = fa.banded_flash_attention(
+                    qkv[0] + dep(c, qkv[0]), qkv[1], qkv[2], relt, relt, lens,
+                    window=4, block_q=bq)
+                return c + dep(out, c)
+            timeit(f"flash raw block_q={bq}", fn, hid0)
+
+    # ---- 1c: sdp_reverse (B=16, T=256) ----
+    if os.environ.get("EXP_SDP"):
+        xs = jax.random.normal(jax.random.PRNGKey(11), (B, 256, h), act)
+        ms = jnp.ones((B, 256, 1), act)
+        def sdp_fn(c):
+            logw = vits2.sdp_reverse(params["dp"], cfg, c, ms, g,
+                                     rng=jax.random.PRNGKey(0), noise_scale=0.8)
+            return c + dep(logw, c)
+        timeit("sdp_reverse", sdp_fn, xs)
+
     # ---- 3: MRF stage1 ----
     t1, c1 = T * 16, cfg.upsample_initial_channel // 4  # 32768, 128
     x1 = jax.random.normal(jax.random.PRNGKey(3), (B, t1, c1), act)

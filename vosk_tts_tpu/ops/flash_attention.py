@@ -143,10 +143,11 @@ def supported(t_q: int, t_kv: int, window: int, dtype) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("window", "mask_value", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "mask_value", "interpret", "block_q"))
 def banded_flash_attention(q, k, v, rel_k, rel_v, kv_len, *, window: int,
                            mask_value: float = _MASK_VALUE,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           block_q: int | None = None):
     """q,k,v: (B, H, T, D) with q PRE-SCALED by 1/sqrt(D); rel_k/rel_v:
     (n_rel, 2w+1, D) relative-position tables (n_rel = 1 when heads share,
     else H); kv_len: (B,) int32 valid key prefix.
@@ -167,7 +168,11 @@ def banded_flash_attention(q, k, v, rel_k, rel_v, kv_len, *, window: int,
     relv = jnp.pad(rel_v, ((0, 0), (0, mp - m_band), (0, dp - d)))
     len_bh = jnp.broadcast_to(kv_len.astype(jnp.int32)[:, None], (b, h)).reshape(b * h)
 
-    block_q = max(bq for bq in (512, 256, 128) if t % bq == 0)
+    if block_q is None:
+        # measured on v5e at flow shapes (B16 H2 T2048 D96): 1024 -> 0.73 ms,
+        # 512 -> 0.98, 256 -> 0.79, 128 -> 1.03; 2048 exceeds scoped VMEM
+        # (tools/exp_perf_r3.py block sweep)
+        block_q = max(bq for bq in (1024, 512, 256, 128) if t % bq == 0)
     block_k = block_q
 
     def rel_index(bh, qb, lens):

@@ -232,6 +232,11 @@ def istft_multiband(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int,
     wbd = np.zeros((n_fft, sub * (n_fft + 2), sub), dtype=np.float32)
     for s in range(sub):
         wbd[:, s * (n_fft + 2) : (s + 1) * (n_fft + 2), s] = w1[:, :, 0]
+    # NOTE: stays on the subpixel conv_transpose lowering — the blocked-FIR
+    # matmul formulation measured SLOWER here (2.6 ms vs 1.15 at bench
+    # shapes: 72 input lanes already feed the MXU well, and the blocked
+    # kernel's 2R-frame window forces an im2col relayout). PQMF synthesis
+    # (4 lanes in) is where blocked_fir wins (ops/pqmf.py).
     y = conv_transpose1d(spectra, jnp.asarray(wbd, spectra.dtype), stride=hop, padding=0)
     if mode == "torch":
         env = _window_envelope_np(n_fft, hop, win, t)

@@ -60,10 +60,14 @@ def rational_quadratic_spline(
     heights = cumheights[..., 1:] - cumheights[..., :-1]
 
     bin_idx = _searchsorted(cumheights if inverse else cumwidths, inputs)
-    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)[..., None]
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
+    # One-hot select instead of take_along_axis: num_bins is tiny (10), and a
+    # broadcast-multiply + lane reduce vectorizes on the VPU where the gather
+    # lowers to a serialized dynamic-slice chain on TPU.
+    onehot = jax.nn.one_hot(bin_idx, num_bins, dtype=inputs.dtype)
 
     def gather(t):
-        return jnp.take_along_axis(t, bin_idx, axis=-1)[..., 0]
+        return jnp.sum(t[..., :num_bins] * onehot, axis=-1)
 
     input_cumwidths = gather(cumwidths)
     input_bin_widths = gather(widths)
