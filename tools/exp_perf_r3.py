@@ -81,7 +81,7 @@ def main():
                 return c + dep(out, c)
             timeit(f"flash raw block_q={bq}", fn, hid0)
 
-    # ---- 1c: sdp_reverse (B=16, T=256) ----
+    # ---- 1c: sdp_reverse (B=16, T=256) + decomposition ----
     if os.environ.get("EXP_SDP"):
         xs = jax.random.normal(jax.random.PRNGKey(11), (B, 256, h), act)
         ms = jnp.ones((B, 256, 1), act)
@@ -90,6 +90,22 @@ def main():
                                      rng=jax.random.PRNGKey(0), noise_scale=0.8)
             return c + dep(logw, c)
         timeit("sdp_reverse", sdp_fn, xs)
+
+    if os.environ.get("EXP_SDP_SUB"):
+        from vosk_tts_tpu.ops import flows as fl
+        from vosk_tts_tpu.ops import wn as wnops2
+        xs = jax.random.normal(jax.random.PRNGKey(11), (B, 256, h), act)
+        ms = jnp.ones((B, 256, 1), act)
+        dpp = params["dp"]
+        ctx = vits2._sdp_context(dpp, cfg, xs, ms, g)
+        z2 = jax.random.normal(jax.random.PRNGKey(12), (B, 256, 2), act)
+        timeit("sdp ctx (pre+dds+proj)", lambda c: c + dep(
+            vits2._sdp_context(dpp, cfg, c, ms, g), c), xs)
+        timeit("sdp one convflow rev", lambda c: c + dep(fl.convflow_apply(
+            dpp["flows"][2], c[..., :2] * 0 + z2, ms, g=ctx, reverse=True,
+            filter_channels=256, kernel_size=3), c), xs)
+        timeit("sdp ddsconv alone", lambda c: c + dep(wnops2.ddsconv_apply(
+            dpp["flows"][2]["convs"], c, ms, g=ctx, kernel_size=3), c), ctx)
 
     # ---- 3: MRF stage1 ----
     t1, c1 = T * 16, cfg.upsample_initial_channel // 4  # 32768, 128

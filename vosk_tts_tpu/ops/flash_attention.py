@@ -63,9 +63,10 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
     t = t_pad - 2 * window
     nk = t // block_k
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, DP)
+    q_nat = q_ref[0]  # (BQ, DP) — native dtype feeds the MXU at full rate
+    q = q_nat.astype(jnp.float32)
     # band logits: q . rel_k[m]  -> (BQ, MP); cols >= m_band hit zero rows
-    band = jax.lax.dot_general(q, relk_ref[0].astype(jnp.float32),
+    band = jax.lax.dot_general(q_nat, relk_ref[0],
                                (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -78,10 +79,12 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
     acc = jnp.zeros((block_q, dp), jnp.float32)
 
     for jb in range(nk):
-        k_blk = k_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :].astype(jnp.float32)
-        v_blk = v_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :].astype(jnp.float32)
+        k_blk = k_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :]
+        v_blk = v_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :]
 
-        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+        # native-dtype operands, f32 accumulation (bf16 serving runs the MXU
+        # at full rate; fp32 inputs keep exact test parity)
+        s = jax.lax.dot_general(q_nat, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # (BQ, BK)
         j_glob = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         delta = j_glob - i_glob
@@ -94,7 +97,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
         p = jnp.exp(s - m_new)
         l_i = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_i = m_new
 
     # ---- band pass: keys/values i-w .. i+w from a (BQ+2w) window ----
