@@ -67,6 +67,53 @@ def test_flow_reverse_flash_matches_xla(rng, interpret_flash):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_mha_flash_bf16(rng, interpret_flash):
+    """bf16 path (serving dtype): q.k, rel-k logits and p.v feed the MXU as
+    bf16 operands with f32 accumulation — compare vs the XLA banded path run
+    in bf16 with a tolerance matching one bf16 rounding of the inputs."""
+    b, t, ch, heads, w = 2, 256, 64, 2, 4
+    params = att.mha_init(jax.random.PRNGKey(4), ch, ch, heads, window_size=w)
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jnp.asarray(rng.standard_normal((b, t, ch)).astype(np.float32)).astype(jnp.bfloat16)
+    lengths = [256, 180]
+    mask = jnp.asarray(_seq_mask(lengths, t)).astype(jnp.bfloat16)[..., None]
+    x = x * mask
+    attn_mask = mask[:, None, :, 0][:, :, None, :] * mask[:, None, :, 0][:, :, :, None]
+    kv_len = jnp.asarray(lengths, jnp.int32)
+
+    want = att.mha_apply(params, x, x, attn_mask, n_heads=heads, window_size=w)
+    got = att.mha_apply(params, x, x, attn_mask, n_heads=heads, window_size=w,
+                        flash=True, kv_len=kv_len)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray((got * mask).astype(jnp.float32)),
+        np.asarray((want * mask).astype(jnp.float32)),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_default_block_q_respects_vmem_budget():
+    """ADVICE r3: block_q=1024 must not be chosen when the (T+2w) K/V windows
+    plus 1024^2 f32 score tiles exceed the scoped-VMEM budget (fp32, T=8192)."""
+    captured = {}
+    orig = fa.pl.pallas_call
+
+    def spy(kernel, *a, **kw):
+        captured["block_q"] = kernel.keywords.get("block_k")
+        return orig(kernel, *a, **kw)
+
+    b, h, t, d, w = 1, 1, 8192, 96, 4
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (b, h, t, d), jnp.float32)
+    relk = jax.random.normal(rng, (1, 2 * w + 1, d), jnp.float32)
+    kv_len = jnp.asarray([t], jnp.int32)
+    import unittest.mock as mock
+    with mock.patch.object(fa.pl, "pallas_call", spy):
+        fa.banded_flash_attention(q, q, q, relk, relk, kv_len, window=w,
+                                  interpret=True)
+    # fp32 T=8192: K/V windows alone are ~8.4 MB; 1024^2 tiles add ~12 MB
+    assert captured["block_q"] is not None and captured["block_q"] <= 512
+
+
 def test_flash_gate_falls_back_without_support(rng, interpret_flash):
     """Odd T (not %128) must silently use the XLA path, not crash."""
     b, t, ch, heads, w = 1, 100, 64, 2, 4

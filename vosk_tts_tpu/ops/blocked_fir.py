@@ -106,6 +106,13 @@ def upsampled_corr(x: jax.Array, w, *, stride: int, gain: float = 1.0,
     """
     k = w.shape[0]
     half = (k - 1) // 2
+    # upfir output has (T-1)*stride + K samples; the slice below needs
+    # k-1-half + T*stride <= that, i.e. half >= stride-1. jnp slicing would
+    # silently clamp and return a shortened waveform otherwise.
+    if half < stride - 1:
+        raise ValueError(
+            f"upsampled_corr: kernel too short (K={k}) for stride={stride}; "
+            f"need (K-1)//2 >= stride-1")
     wt = jnp.flip(w, 0) * gain if not isinstance(w, np.ndarray) else np.ascontiguousarray(w[::-1]) * gain
     y = upfir_blocked(x, wt, stride=stride, block=block)
     return y[:, k - 1 - half : k - 1 - half + x.shape[1] * stride]

@@ -24,7 +24,13 @@ measured history):
     (B, H, T, 2w+1)-padded-to-128-lanes band tensors ever touch HBM
     and the caller needs no lane-starved einsums.
 
-Semantics (matching ops/attention.mha_apply banded path exactly, fp32):
+Precision: fp32 inputs reproduce the XLA banded path exactly (all dots
+accumulate in f32). bf16 inputs feed the MXU with bf16 operands (q.k,
+rel-k logits, and the probability.V product downcast p to bf16) — full
+MXU rate, at one-bf16-rounding tolerance vs the XLA path
+(tests/test_flash_attention.py::test_mha_flash_bf16).
+
+Semantics (matching ops/attention.mha_apply banded path, exact in fp32):
   scores[i,j] = q_scaled[i] . k[j] + (q_scaled[i] . rel_k[j-i+w]) |j-i|<=w
   scores[i,j] = mask_value                                        j >= kv_len
   p = softmax_j(scores)
@@ -175,8 +181,23 @@ def banded_flash_attention(q, k, v, rel_k, rel_v, kv_len, *, window: int,
     if block_q is None:
         # measured on v5e at flow shapes (B16 H2 T2048 D96): 1024 -> 0.73 ms,
         # 512 -> 0.98, 256 -> 0.79, 128 -> 1.03; 2048 exceeds scoped VMEM
-        # (tools/exp_perf_r3.py block sweep)
-        block_q = max(bq for bq in (1024, 512, 256, 128) if t % bq == 0)
+        # (tools/exp_perf_r3.py block sweep). Larger T or fp32 shrinks the
+        # admissible block: every program holds the full (T+2w, DP) K and V
+        # windows plus ~3 (BQ, BK) f32 score/prob tiles, so pick the largest
+        # block whose VMEM estimate fits the ~16 MB scoped budget.
+        esize = jnp.dtype(q.dtype).itemsize
+        budget = 16 * 1024 * 1024
+
+        def vmem_est(bq):
+            kv_windows = 2 * (t + 2 * window) * dp * esize
+            band_f32 = 2 * (bq + 2 * window) * dp * 4
+            tiles = 3 * bq * bq * 4
+            q_acc = 4 * bq * dp * 4
+            return kv_windows + band_f32 + tiles + q_acc
+
+        fits = [bq for bq in (1024, 512, 256, 128)
+                if t % bq == 0 and vmem_est(bq) <= budget]
+        block_q = max(fits) if fits else 128
     block_k = block_q
 
     def rel_index(bh, qb, lens):
