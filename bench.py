@@ -81,12 +81,24 @@ def bench_jax():
 
         return step
 
-    def frames_step(x, xl, sid):
+    def encode_step(x, xl, sid):
+        """Pass one of the split serving path (encoder + SDP)."""
         def step(carry):
             rng, acc = carry
             rng, sub = jax.random.split(rng)
-            pred = vits2.predict_frames(params, cfg, x, xl, sid, rng=sub)
-            return rng, acc + jnp.sum(pred).astype(jnp.float32)
+            enc = vits2.encode_for_infer(params, cfg, x, xl, sid, rng=sub)
+            return rng, acc + jnp.sum(enc["pred_frames"]).astype(jnp.float32)
+
+        return step
+
+    def split_decode_step(enc, sid, max_frames):
+        """Pass two from fixed pass-one outputs (rng varies the z noise)."""
+        def step(carry):
+            rng, acc = carry
+            rng, sub = jax.random.split(rng)
+            out = vits2.decode_from_durations(params, cfg, enc, sid, rng=sub,
+                                              max_frames=max_frames)
+            return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
 
         return step
 
@@ -98,34 +110,38 @@ def bench_jax():
                                       carry0, n1=4, n2=16, reps=5)
     capacity_rate = (BATCH * CAP_FRAMES * HOP / SAMPLE_RATE) / cap_elapsed
 
-    # ---- primary: adaptive two-pass serving over the mixed workload ------
+    # ---- primary: adaptive SPLIT two-pass serving over the mixed workload --
+    # pass one (encoder+SDP) runs once per batch; its outputs feed the decode
+    # graph directly (vits2.decode_from_durations), so the encoder is never
+    # recomputed (VERDICT r3 weak-5).
     total_audio_s, total_time_s = 0.0, 0.0
     per_class = {}
+    enc_jit = jax.jit(lambda x, xl, sid, r: vits2.encode_for_infer(
+        params, cfg, x, xl, sid, rng=r))
     for text_bucket, n_real in WORKLOAD:
         x, xl, sid = inputs(BATCH, text_bucket, n_real)
-        pred = np.asarray(jax.jit(
-            lambda r: vits2.predict_frames(params, cfg, x, xl, sid, rng=r)
-        )(jax.random.PRNGKey(2)))
+        enc = enc_jit(x, xl, sid, jax.random.PRNGKey(2))
+        pred = np.asarray(enc["pred_frames"])
         fb = api.pick_frame_bucket(int(pred.max()), text_bucket)
-        t_frames, _, _ = device_timeit(frames_step(x, xl, sid), carry0, n1=4, n2=16, reps=3)
-        t_decode, _, _ = device_timeit(decode_step(x, xl, sid, fb), carry0, n1=4, n2=16, reps=3)
+        t_enc, _, _ = device_timeit(encode_step(x, xl, sid), carry0, n1=4, n2=16, reps=3)
+        t_decode, _, _ = device_timeit(split_decode_step(enc, sid, fb), carry0,
+                                       n1=4, n2=16, reps=3)
         audio_s = float(np.minimum(pred, fb).sum()) * HOP / SAMPLE_RATE
         total_audio_s += audio_s
-        total_time_s += t_frames + t_decode
+        total_time_s += t_enc + t_decode
         per_class[f"t{text_bucket}"] = {
-            "frame_bucket": fb, "frames_ms": round(t_frames * 1e3, 2),
+            "frame_bucket": fb, "frames_ms": round(t_enc * 1e3, 2),
             "decode_ms": round(t_decode * 1e3, 2), "audio_s": round(audio_s, 1),
         }
     true_rate = total_audio_s / total_time_s
 
     # ---- batch-1 p50 latency + RTF for a SHORT utterance (adaptive) ------
     x1, xl1, sid1 = inputs(1, WORKLOAD[0][0], WORKLOAD[0][1])
-    pred1 = int(np.asarray(jax.jit(
-        lambda r: vits2.predict_frames(params, cfg, x1, xl1, sid1, rng=r)
-    )(jax.random.PRNGKey(3)))[0])
+    enc1 = enc_jit(x1, xl1, sid1, jax.random.PRNGKey(3))
+    pred1 = int(np.asarray(enc1["pred_frames"])[0])
     fb1 = api.pick_frame_bucket(pred1, WORKLOAD[0][0])
-    tf1, _, _ = device_timeit(frames_step(x1, xl1, sid1), carry0, n1=4, n2=16, reps=5)
-    td1, _, _ = device_timeit(decode_step(x1, xl1, sid1, fb1), carry0, n1=4, n2=16, reps=5)
+    tf1, _, _ = device_timeit(encode_step(x1, xl1, sid1), carry0, n1=4, n2=16, reps=5)
+    td1, _, _ = device_timeit(split_decode_step(enc1, sid1, fb1), carry0, n1=4, n2=16, reps=5)
     lat1 = tf1 + td1
     audio1 = min(pred1, fb1) * HOP / SAMPLE_RATE
     rtf1 = lat1 / audio1

@@ -694,9 +694,42 @@ def predict_frames(
     for the worst case (the reference sizes output dynamically,
     models.py:1691; XLA needs a static bucket).
     """
+    return encode_for_infer(
+        params, cfg, x_ids, x_lengths, sid, rng=rng,
+        length_scale=length_scale, noise_scale_w=noise_scale_w,
+    )["pred_frames"]
+
+
+def encode_for_infer(
+    params,
+    cfg: VITS2Config,
+    x_ids: jax.Array,
+    x_lengths: jax.Array,
+    sid: jax.Array | None = None,
+    *,
+    rng: jax.Array,
+    length_scale=1.0,
+    noise_scale_w=0.8,
+):
+    """First pass of the SPLIT two-pass serving path: text encoder + duration
+    predictor. Returns a dict (m_p, logs_p, x_mask, w_ceil, pred_frames) that
+    :func:`decode_from_durations` turns into audio without recomputing the
+    encoder or SDP.
+
+    rng discipline: consumes the same ``r_dur`` split as :func:`infer`, so
+
+        infer(rng=r, max_frames=F)
+          == decode_from_durations(encode_for_infer(rng=r), rng=r, max_frames=F)
+
+    bit-exactly for any F (durations clip identically in both). This lets a
+    server pick the smallest compiled frame bucket from ``pred_frames`` and
+    feed pass-one outputs straight into the decode graph — the reference
+    sizes its output dynamically instead (models.py:1691); XLA needs a
+    static bucket and must not pay the encoder twice.
+    """
     r_dur, _ = jax.random.split(rng)
     g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
-    x, _, _, x_mask = text_encoder_apply(
+    x, m_p, logs_p, x_mask = text_encoder_apply(
         params["enc_p"], cfg, x_ids, x_lengths, g if cfg.enc_gin_channels else None,
         flash=True,
     )
@@ -705,7 +738,48 @@ def predict_frames(
     else:
         logw = dp_apply(params["dp"], cfg, x, x_mask, g)
     w_ceil = jnp.ceil(jnp.exp(logw) * x_mask * length_scale)[..., 0]
-    return jnp.maximum(jnp.sum(w_ceil, axis=-1), 1).astype(jnp.int32)
+    pred = jnp.maximum(jnp.sum(w_ceil, axis=-1), 1).astype(jnp.int32)
+    return {"m_p": m_p, "logs_p": logs_p, "x_mask": x_mask, "w_ceil": w_ceil,
+            "pred_frames": pred}
+
+
+def decode_from_durations(
+    params,
+    cfg: VITS2Config,
+    enc: dict,
+    sid: jax.Array | None = None,
+    *,
+    rng: jax.Array,
+    max_frames: int,
+    noise_scale=0.667,
+):
+    """Second pass of the split serving path: alignment expansion + flow +
+    decoder from :func:`encode_for_infer` outputs. Pass the SAME ``rng`` as
+    pass one (the duration split is discarded here, the noise split is
+    consumed) to reproduce :func:`infer` exactly."""
+    _, r_noise = jax.random.split(rng)
+    g = params["emb_g"][sid][:, None, :] if cfg.n_speakers > 1 else None
+    m_p, logs_p, x_mask, w_ceil = enc["m_p"], enc["logs_p"], enc["x_mask"], enc["w_ceil"]
+
+    y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, max_frames).astype(jnp.int32)
+    y_mask = sequence_mask(y_lengths, max_frames).astype(x_mask.dtype)[..., None]
+    attn = generate_path(w_ceil, x_mask[..., 0], y_mask[..., 0])
+
+    m_p = jnp.einsum("byt,btc->byc", attn, m_p)
+    logs_p = jnp.einsum("byt,btc->byc", attn, logs_p)
+    z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
+    z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
+
+    up = cfg.upsample_factor
+    return {
+        "wav": wav,
+        "wav_mb": wav_mb,
+        "wav_lengths": y_lengths * up,
+        "attn": attn,
+        "y_mask": y_mask,
+        "durations": w_ceil,
+    }
 
 
 def infer(

@@ -117,10 +117,16 @@ class BatchSynthesizer:
                 self._cache[key] = api.make_vits2_runner(self.model, max_frames)
         return self._cache[key]
 
-    def _frames_runner(self):
-        if "frames" not in self._cache:
-            self._cache["frames"] = api.make_vits2_frames_runner(self.model)
-        return self._cache["frames"]
+    def _encode_runner(self):
+        if "encode" not in self._cache:
+            self._cache["encode"] = api.make_vits2_encode_runner(self.model)
+        return self._cache["encode"]
+
+    def _decode_runner(self, bucket: int, max_frames: int):
+        key = ("decode", bucket, max_frames)
+        if key not in self._cache:
+            self._cache[key] = api.make_vits2_decode_runner(self.model, max_frames)
+        return self._cache[key]
 
     def _loop(self):
         while not self._stop.is_set():
@@ -204,17 +210,20 @@ class BatchSynthesizer:
                 x_lengths[i] = len(ids)
                 sid[i] = it.sid
             xj, xlj, sidj = jnp.asarray(x), jnp.asarray(x_lengths), jnp.asarray(sid)
-            # duration-adaptive decode bucket: predict frames with the cheap
-            # first pass, decode into the smallest compiled bucket; the same
-            # rng reproduces the predicted durations in the decode graph
+            # duration-adaptive SPLIT decode: encoder+SDP run once on device;
+            # only the predicted frame count crosses the tunnel, then pass-one
+            # outputs feed the decode graph at the smallest compiled bucket
             if os.environ.get("VOSK_TTS_ADAPTIVE", "1") == "0":
                 max_frames = bucket * FRAMES_PER_TOKEN
+                run = self._runner(bucket, max_frames)
+                out = run(self.model.params, xj, xlj, sidj, rng, noise, inv_rate, dur_noise)
             else:
-                pred = self._frames_runner()(
+                enc = self._encode_runner()(
                     self.model.params, xj, xlj, sidj, rng, inv_rate, dur_noise)
-                max_frames = pick_frame_bucket(int(np.max(np.asarray(pred))), bucket)
-            run = self._runner(bucket, max_frames)
-            out = run(self.model.params, xj, xlj, sidj, rng, noise, inv_rate, dur_noise)
+                max_frames = pick_frame_bucket(
+                    int(np.max(np.asarray(enc["pred_frames"]))), bucket)
+                out = self._decode_runner(bucket, max_frames)(
+                    self.model.params, enc, sidj, rng, noise)
             wavs = np.asarray(out["wav"])[..., 0]
             lengths = np.asarray(out["wav_lengths"])
 
