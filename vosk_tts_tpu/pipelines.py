@@ -163,6 +163,7 @@ def clone_tts_long(
     noise_scale: float = 0.5,
     sample_rate: int = 32000,
     silence_s: float = 0.3,
+    max_batch: int = 8,
 ):
     """Long-text zero-shot cloning (inference_cli.py get_tts_wav :164-274).
 
@@ -178,25 +179,32 @@ def clone_tts_long(
       * each chunk peak-normalized if it clips, then concatenated with
         0.3 s silence (:261-266).
 
-    All device stages run on bucketed shapes (PHONE_BUCKETS x max_new for
-    the AR loop, CODE_BUCKETS for the decode), so a long document compiles
-    a handful of graphs, not one per sentence.
+    Unlike the reference (strictly chunk-at-a-time, inference_cli.py:203-266),
+    chunks are BATCHED: grouped by phone-length bucket and run through the
+    batched AR loop (``ar_infer_batch``) up to ``max_batch`` at a time, then
+    grouped by (code bucket, text bucket) for a batched ``sovits_decode`` —
+    a B-sentence document costs ~1/B the AR wall-clock. Batch sizes are
+    padded to powers of two (row-0 repeats) so the jit cache stays bounded:
+    a handful of graphs per document, not one per sentence. Chunk order is
+    preserved in the output; each row samples from its own rng stream.
     """
+    from collections import defaultdict
+
     zero = np.zeros(int(16000 * 0.3), np.float32)
     ssl = H.hubert_apply(hubert_params, hubert_cfg,
                          jnp.asarray(np.concatenate([ref_wav_16k, zero]))[None, :])
     prompts = GS.sovits_extract_latent(sovits_params, sovits_cfg, ssl)  # (1, Tp)
+    t_p = prompts.shape[1]
 
     prompt_ids: list = []
     if prompt_text:
         phones, _, _ = frontend.clean_text(prompt_text.strip("\n"), language)
         prompt_ids = frontend.to_ids(phones)
 
-    refer = jnp.asarray(ref_spec)[None]
-    refer_len = jnp.asarray([ref_spec.shape[0]], jnp.int32)
     silence = np.zeros(int(sample_rate * silence_s), np.float32)
 
-    pieces, n_total = [], 0
+    # ---- frontend: all chunks first (host-side, cheap) ----
+    chunk_ids: list = []
     for chunk in cut_text(text.strip("\n")):
         chunk = chunk.strip()
         if not chunk:
@@ -205,39 +213,96 @@ def clone_tts_long(
             chunk += "."
         phones, _, _ = frontend.clean_text(chunk, language)
         ids = frontend.to_ids(phones)
-        if not ids:
-            continue
-        ar_ids = prompt_ids + ids
-
-        rng, r_ar, r_dec = jax.random.split(rng, 3)
-        tb = bucket_len(len(ar_ids), PHONE_BUCKETS)
-        x = np.zeros((1, tb), np.int32)
-        x[0, : len(ar_ids)] = ar_ids
-        bert = jnp.zeros((1, tb, ar_cfg.bert_dim))  # zeros for ru/en (:126-139)
-        tokens, n = GS.ar_infer(
-            ar_params, ar_cfg, jnp.asarray(x), bert, prompts, rng=r_ar,
-            top_k=top_k, top_p=top_p, temperature=temperature, max_new=max_new,
-            x_len=len(ar_ids),
-        )
-        n = max(int(n), 1)
-
-        db = bucket_len(len(ids), PHONE_BUCKETS)
-        dec_text = np.zeros((1, db), np.int32)
-        dec_text[0, : len(ids)] = ids
-        codes = tokens[:, : bucket_len(n, CODE_BUCKETS)]
-        wav = GS.sovits_decode(
-            sovits_params, sovits_cfg, codes,
-            jnp.asarray(dec_text), jnp.asarray([len(ids)], jnp.int32),
-            refer, refer_len, rng=r_dec, noise_scale=noise_scale,
-            code_lengths=jnp.asarray([n], jnp.int32),
-        )
-        audio = np.asarray(wav)[0, : n * GS.upsample_factor(sovits_cfg)]
-        peak = np.abs(audio).max()
-        if peak > 1:  # 16-bit clip guard (:261-262)
-            audio = audio / peak
-        pieces.append(audio)
-        pieces.append(silence)
-        n_total += n
-    if not pieces:
+        if ids:
+            chunk_ids.append(ids)
+    if not chunk_ids:
         return np.zeros(0, np.float32), 0
-    return np.concatenate(pieces).astype(np.float32), n_total
+    n_chunks = len(chunk_ids)
+
+    def pad_pow2(n):
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, max(max_batch, 1))
+
+    # ---- stage 1: batched AR decode, grouped by text bucket ----
+    tokens_all = [None] * n_chunks
+    n_all = [0] * n_chunks
+    ar_groups = defaultdict(list)
+    for i, ids in enumerate(chunk_ids):
+        ar_groups[bucket_len(len(prompt_ids) + len(ids), PHONE_BUCKETS)].append(i)
+    for tb in sorted(ar_groups):
+        idxs = ar_groups[tb]
+        for s in range(0, len(idxs), max_batch):
+            grp = idxs[s : s + max_batch]
+            b = pad_pow2(len(grp))
+            x = np.zeros((b, tb), np.int32)
+            x_lens = np.ones((b,), np.int32)
+            for r, i in enumerate(grp):
+                ar_ids = prompt_ids + chunk_ids[i]
+                x[r, : len(ar_ids)] = ar_ids
+                x_lens[r] = len(ar_ids)
+            for r in range(len(grp), b):  # pad rows repeat row 0
+                x[r], x_lens[r] = x[0], x_lens[0]
+            rng, r_ar = jax.random.split(rng)
+            toks, ns = GS.ar_infer_batch(
+                ar_params, ar_cfg, jnp.asarray(x), jnp.asarray(x_lens),
+                jnp.zeros((b, tb, ar_cfg.bert_dim)),  # zeros for ru/en (:126-139)
+                jnp.broadcast_to(prompts, (b, t_p)), rng=r_ar,
+                top_k=top_k, top_p=top_p, temperature=temperature, max_new=max_new,
+            )
+            toks, ns = np.asarray(toks), np.asarray(ns)
+            for r, i in enumerate(grp):
+                tokens_all[i] = toks[r]
+                n_all[i] = max(int(ns[r]), 1)
+
+    # ---- stage 2: batched SoVITS decode, grouped by (code, text) bucket ----
+    refer_np = np.asarray(ref_spec)[None]
+    upf = GS.upsample_factor(sovits_cfg)
+    audios = [None] * n_chunks
+    dec_groups = defaultdict(list)
+    for i, ids in enumerate(chunk_ids):
+        dec_groups[(bucket_len(n_all[i], CODE_BUCKETS),
+                    bucket_len(len(ids), PHONE_BUCKETS))].append(i)
+    for cb, db in sorted(dec_groups):
+        idxs = dec_groups[(cb, db)]
+        for s in range(0, len(idxs), max_batch):
+            grp = idxs[s : s + max_batch]
+            b = pad_pow2(len(grp))
+            codes = np.zeros((b, cb), np.int32)
+            code_lens = np.ones((b,), np.int32)
+            dec_text = np.zeros((b, db), np.int32)
+            text_lens = np.ones((b,), np.int32)
+            for r, i in enumerate(grp):
+                tok = tokens_all[i]
+                m = min(cb, len(tok))  # cb may exceed max_new; tail is masked
+                codes[r, :m] = tok[:m]
+                code_lens[r] = min(n_all[i], cb)
+                ids = chunk_ids[i][:db]
+                dec_text[r, : len(ids)] = ids
+                text_lens[r] = len(ids)
+            for r in range(len(grp), b):
+                codes[r], code_lens[r] = codes[0], code_lens[0]
+                dec_text[r], text_lens[r] = dec_text[0], text_lens[0]
+            rng, r_dec = jax.random.split(rng)
+            wav = GS.sovits_decode(
+                sovits_params, sovits_cfg, jnp.asarray(codes),
+                jnp.asarray(dec_text), jnp.asarray(text_lens),
+                jnp.broadcast_to(jnp.asarray(refer_np), (b,) + refer_np.shape[1:]),
+                jnp.full((b,), ref_spec.shape[0], jnp.int32),
+                rng=r_dec, noise_scale=noise_scale,
+                code_lengths=jnp.asarray(code_lens),
+            )
+            wav = np.asarray(wav)
+            for r, i in enumerate(grp):
+                audio = wav[r, : code_lens[r] * upf]
+                peak = np.abs(audio).max()
+                if peak > 1:  # 16-bit clip guard (:261-262)
+                    audio = audio / peak
+                audios[i] = audio
+
+    pieces = []
+    for a in audios:
+        pieces.append(a)
+        pieces.append(silence)
+    return np.concatenate(pieces).astype(np.float32), int(sum(n_all))
