@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--bench-steps", type=int, default=0,
+                    help="also time this many steps and print STEP_TIME")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -103,6 +105,20 @@ def main():
     out = {k: float(v) for k, v in metrics.items()}
     assert new_state["params_g"]["enc_p"]["proj"]["w"].sharding.is_fully_replicated
     print("METRICS " + json.dumps(out, sort_keys=True), flush=True)
+
+    if args.bench_steps:
+        import time
+
+        s = new_state
+        for _ in range(2):  # warm past any re-compilation/donation effects
+            s, m = step(s, sharded, jax.random.PRNGKey(2))
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for _ in range(args.bench_steps):
+            s, m = step(s, sharded, jax.random.PRNGKey(3))
+        jax.block_until_ready(m)
+        dt = (time.perf_counter() - t0) / args.bench_steps
+        print(f"STEP_TIME {dt:.6f}", flush=True)
 
 
 if __name__ == "__main__":
