@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""One bounded on-device GAN train-step measurement (VERDICT r3 weak-6).
+
+Small-but-real shapes: the shipped MB-iSTFT-VITS2 architecture, batch 8,
+segment 8192 samples (the reference's training segment,
+configs/mb_istft_vits2_multi.json:13), spec length 400 frames (a typical
+bucket, data_utils.py length filtering). Reports step-ms and samples/s.
+
+Relay-safe: the whole D->durD->G update is ONE jit (train/vits2_train.py);
+timing via device_timeit's in-program scan. fp32 params (training
+precision), in-process SIGALRM watchdog.
+
+Usage: python tools/profile_train_step.py [--batch 8] [--frames 400]
+"""
+
+import argparse
+import json
+import os
+import signal
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=400)  # spec frames
+    ap.add_argument("--text", type=int, default=128)
+    args = ap.parse_args()
+
+    signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
+    signal.alarm(int(os.environ.get("PROFILE_TIMEOUT_S", "2400")))
+
+    import numpy as np
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env var
+    import jax.numpy as jnp
+
+    from vosk_tts_tpu.models import vits2
+    from vosk_tts_tpu.train import vits2_train as T
+    from vosk_tts_tpu.utils.profiling import device_timeit
+
+    mcfg = vits2.VITS2Config()
+    tcfg = T.TrainConfig()
+    B, TX, TF = args.batch, args.text, args.frames
+    hop = tcfg.hop_length
+
+    state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = T.make_train_step(mcfg, tcfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.integers(1, mcfg.n_vocab, size=(B, TX)).astype(np.int32)),
+        "x_lengths": jnp.full((B,), TX, jnp.int32),
+        "mel": jnp.asarray(rng.standard_normal((B, TF, tcfg.n_mel_channels)).astype(np.float32)),
+        "mel_lengths": jnp.full((B,), TF, jnp.int32),
+        "wav": jnp.asarray((rng.standard_normal((B, TF * hop)) * 0.3).astype(np.float32)),
+        "sid": jnp.asarray(rng.integers(0, mcfg.n_speakers, size=(B,)).astype(np.int32)),
+    }
+
+    def one(carry):
+        st, r = carry
+        r, sub = jax.random.split(r)
+        st, metrics = step(st, batch, sub)
+        return st, r
+
+    per, _, _ = device_timeit(one, (state, jax.random.PRNGKey(1)), n1=2, n2=6, reps=3)
+    samples = B * TF * hop
+    print(f"GAN train step (B={B}, spec {TF}f, seg {mcfg.segment_size * hop} "
+          f"samples): {per*1e3:.1f} ms", flush=True)
+    print(json.dumps({
+        "train_step_ms": round(per * 1e3, 2),
+        "samples_per_s": round(samples / per, 0),
+        "audio_s_per_s_train": round(samples / 22050 / per, 1),
+        "config": f"mb-istft-vits2 B={B} TX={TX} TF={TF} fp32",
+    }))
+
+
+if __name__ == "__main__":
+    main()
