@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--max-new", type=int, default=256)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--codes", type=int, default=512)
+    ap.add_argument("--tiny", action="store_true", help="tiny configs (CPU smoke)")
     args = ap.parse_args()
 
     signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
@@ -45,7 +46,12 @@ def main():
     from vosk_tts_tpu.models import gpt_sovits as GS
     from vosk_tts_tpu.utils.profiling import device_timeit
 
-    acfg = GS.ARConfig()
+    if args.tiny:
+        acfg = GS.ARConfig(embedding_dim=32, hidden_dim=32, num_head=2,
+                           num_layers=2, vocab_size=33, phoneme_vocab_size=64,
+                           bert_dim=16, eos=32)
+    else:
+        acfg = GS.ARConfig()
     aparams = GS.ar_init(jax.random.PRNGKey(0), acfg)
     # suppress EOS so the loop runs to max_new (random weights would stop
     # at a random step otherwise; the per-token cost is what we measure)
@@ -99,7 +105,15 @@ def main():
           f"({tb/t1:.2f}x the B=1 wall-clock for {B}x the work)", flush=True)
 
     # ---- SoVITS decode at cloning shapes ----
-    scfg = GS.SoVITSConfig()
+    if args.tiny:
+        scfg = GS.SoVITSConfig(spec_channels=65, inter_channels=32,
+                               hidden_channels=32, filter_channels=48,
+                               n_layers=2, upsample_initial_channel=64,
+                               upsample_rates=(4, 4), upsample_kernel_sizes=(16, 16),
+                               gin_channels=32, ssl_dim=16, n_codes=32,
+                               n_symbols=64, mrte_hidden=32, style_hidden=16)
+    else:
+        scfg = GS.SoVITSConfig()
     sparams = GS.sovits_init(jax.random.PRNGKey(2), scfg)
     if args.dtype == "bfloat16":
         sparams = jax.tree_util.tree_map(

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--frames", type=int, default=400)  # spec frames
     ap.add_argument("--text", type=int, default=128)
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     args = ap.parse_args()
 
     signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
@@ -45,8 +46,21 @@ def main():
     from vosk_tts_tpu.train import vits2_train as T
     from vosk_tts_tpu.utils.profiling import device_timeit
 
-    mcfg = vits2.VITS2Config()
-    tcfg = T.TrainConfig()
+    if args.tiny:
+        mcfg = vits2.VITS2Config(
+            n_vocab=20, spec_channels=40, segment_size=8, inter_channels=16,
+            hidden_channels=16, filter_channels=32, n_heads=2, n_layers=1,
+            n_flows=1, posterior_wn_layers=2, sdp_n_flows=1,
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),),
+            upsample_rates=(4,), upsample_kernel_sizes=(8,),
+            upsample_initial_channel=32, n_speakers=4, gin_channels=8)
+        tcfg = T.TrainConfig(
+            filter_length=256, hop_length=mcfg.upsample_factor, win_length=256,
+            n_mel_channels=40, fft_sizes=(64, 128, 32), hop_sizes=(8, 16, 4),
+            win_lengths=(32, 64, 16), disc_periods=(2, 3), disc_spec_ffts=(64,))
+    else:
+        mcfg = vits2.VITS2Config()
+        tcfg = T.TrainConfig()
     B, TX, TF = args.batch, args.text, args.frames
     hop = tcfg.hop_length
 
@@ -57,7 +71,7 @@ def main():
     batch = {
         "x": jnp.asarray(rng.integers(1, mcfg.n_vocab, size=(B, TX)).astype(np.int32)),
         "x_lengths": jnp.full((B,), TX, jnp.int32),
-        "mel": jnp.asarray(rng.standard_normal((B, TF, tcfg.n_mel_channels)).astype(np.float32)),
+        "mel": jnp.asarray(rng.standard_normal((B, TF, tcfg.n_mel_channels if args.tiny else mcfg.spec_channels if False else tcfg.n_mel_channels)).astype(np.float32)),
         "mel_lengths": jnp.full((B,), TF, jnp.int32),
         "wav": jnp.asarray((rng.standard_normal((B, TF * hop)) * 0.3).astype(np.float32)),
         "sid": jnp.asarray(rng.integers(0, mcfg.n_speakers, size=(B,)).astype(np.int32)),

@@ -653,11 +653,11 @@ def _sovits_enc_p(params, cfg: SoVITSConfig, quantized, y_lengths, max_frames,
     from ..ops.commons import sequence_mask
     from ..ops.conv import conv1d
 
-    y_mask = sequence_mask(y_lengths, max_frames).astype(jnp.float32)[..., None]
+    y_mask = sequence_mask(y_lengths, max_frames).astype(quantized.dtype)[..., None]
     y = conv1d(quantized * y_mask, params["ssl_proj"]["w"], params["ssl_proj"]["b"]) * y_mask
     y = att.encoder_apply(params["encoder_ssl"], y * y_mask, y_mask,
                           n_heads=cfg.n_heads, kernel_size=cfg.kernel_size)
-    text_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[..., None]
+    text_mask = sequence_mask(text_lengths, text.shape[1]).astype(quantized.dtype)[..., None]
     t = params["text_emb"][text]
     t = att.encoder_apply(params["encoder_text"], t * text_mask, text_mask,
                           n_heads=cfg.n_heads, kernel_size=cfg.kernel_size)
@@ -701,7 +701,7 @@ def sovits_decode(params, cfg: SoVITSConfig, codes, text, text_lengths, refer, r
     from ..ops.commons import sequence_mask
     from .vits2 import flow_block_apply, generator_apply
 
-    refer_mask = sequence_mask(refer_lengths, refer.shape[1]).astype(jnp.float32)[..., None]
+    refer_mask = sequence_mask(refer_lengths, refer.shape[1]).astype(refer.dtype)[..., None]
     ge = mel_style_encoder_apply(params["ref_enc"], cfg, refer * refer_mask, refer_mask)
 
     quantized = rvq_decode(params["codebook"], codes)  # (B, Tc, 768)
@@ -716,7 +716,7 @@ def sovits_decode(params, cfg: SoVITSConfig, codes, text, text_lengths, refer, r
 
     x, m_p, logs_p, y_mask = _sovits_enc_p(params["enc_p"], cfg, quantized, y_lengths, t_q,
                                            text, text_lengths, ge)
-    z_p = m_p + jax.random.normal(rng, m_p.shape) * jnp.exp(logs_p) * noise_scale
+    z_p = m_p + jax.random.normal(rng, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z_p = z_p * y_mask
     v = cfg.as_vits2()
     z = flow_block_apply(params["flow"], v, z_p, y_mask, ge[:, None, :], reverse=True)
