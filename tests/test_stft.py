@@ -104,3 +104,22 @@ def test_istft_roundtrip(rng):
     rec = S.istft(mag, phase, n_fft, hop, win)
     n = min(rec.shape[1], t)
     np.testing.assert_allclose(np.asarray(rec)[0, hop : n - hop], y[0, hop : n - hop], rtol=1e-3, atol=1e-3)
+
+
+def test_istft_pqmf_fused_exact(rng):
+    """Fused iSTFT+envelope+PQMF tail (one blocked FIR at composite stride)
+    vs the unfused composition — exact in both istft modes, including the
+    envelope/slice edge regions and the small-t fallback."""
+    from vosk_tts_tpu.ops.pqmf import pqmf_synthesis
+
+    for t in (65, 129, 40):  # 40 exercises the small-t fallback
+        for mode in ("torch", "onnx"):
+            mag = jnp.asarray(np.abs(rng.standard_normal((2, t, 4, 9))).astype(np.float32))
+            ph = jnp.asarray(rng.standard_normal((2, t, 4, 9)).astype(np.float32))
+            want = pqmf_synthesis(S.istft_multiband(mag, ph, 16, 4, 16, mode=mode),
+                                  subbands=4)
+            got = S.istft_pqmf_fused(mag, ph, 16, 4, 16, subbands=4, mode=mode)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"t={t} mode={mode}")

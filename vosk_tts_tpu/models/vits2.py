@@ -610,13 +610,19 @@ def _spec_phase(x, n_fft):
     return spec, phase
 
 
-def generator_apply(params, cfg: VITS2Config, x, g=None, *, x_lengths=None):
+def generator_apply(params, cfg: VITS2Config, x, g=None, *, x_lengths=None,
+                    fused_tail: bool = False):
     """x: (B, T, inter) -> (wav (B, samples, 1), subband wavs or None).
 
     x_lengths (B,) masks padded input frames at every conv so that, for the
     hifigan decoder, output samples < length * prod(upsample_rates) are
     bit-identical to decoding the unpadded input (bucketed-decode contract;
-    iSTFT decoders are exact except the last ~n_fft overlap-add tail)."""
+    iSTFT decoders are exact except the last ~n_fft overlap-add tail).
+
+    fused_tail (mb_istft serving only): collapse iSTFT + envelope + PQMF
+    into one blocked FIR (ops/stft.istft_pqmf_fused) and return wav_mb=None
+    — training needs the subband waveforms for its STFT loss, inference
+    does not."""
     n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
     inverse = istft if cfg.istft_mode == "torch" else istft_onnx
 
@@ -637,6 +643,13 @@ def generator_apply(params, cfg: VITS2Config, x, g=None, *, x_lengths=None):
     sub = cfg.subbands
     x = x.reshape(b, t, sub, n_fft + 2)
     spec, phase = _spec_phase(x, n_fft)
+
+    if cfg.decoder_type == "mb_istft" and fused_tail:
+        from ..ops.stft import istft_pqmf_fused
+
+        return istft_pqmf_fused(spec, phase, n_fft, hop, n_fft, subbands=sub,
+                                mode=cfg.istft_mode), None
+
     # all subbands in ONE block-diagonal transposed conv (no batch-fold
     # transposes, no lane-starved (B*sub, T, bins) tensors)
     y_mb = istft_multiband(spec, phase, n_fft, hop, n_fft,
@@ -769,7 +782,7 @@ def decode_from_durations(
     logs_p = jnp.einsum("byt,btc->byc", attn, logs_p)
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
-    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g, fused_tail=True)
 
     up = cfg.upsample_factor
     return {
@@ -824,7 +837,7 @@ def infer(
 
     z_p = m_p + jax.random.normal(r_noise, m_p.shape, m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_block_apply(params["flow"], cfg, z_p, y_mask, g, reverse=True, flash=True)
-    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g)
+    wav, wav_mb = generator_apply(params["dec"], cfg, z * y_mask, g, fused_tail=True)
 
     up = cfg.upsample_factor
     return {

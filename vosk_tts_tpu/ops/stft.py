@@ -245,6 +245,100 @@ def istft_multiband(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int,
     return y[:, half : y.shape[1] - half, :]
 
 
+@lru_cache(maxsize=None)
+def _fused_mb_kernel(n_fft: int, hop: int, win: int, sub: int, taps: int,
+                     cutoff_ratio: float, beta: float, mode: str):
+    """Composite kernel for iSTFT(conv_transpose, stride=hop) -> steady-state
+    envelope divide -> PQMF synthesis (zero-stuff x sub + FIR), collapsed
+    into ONE conv_transpose of stride hop*sub:
+
+        out[u] = sum_t spectra[t, c] . G2[u + off - hop*sub*t, c]
+
+    with off = (taps)//2 + sub*(n_fft//2). Returns (G2 (Kc, C, 1) float32,
+    off). The envelope is periodic (period hop) away from the signal edges,
+    so it folds into the kernel per tap phase; the caller patches the edge
+    samples exactly (istft_pqmf_fused)."""
+    from .pqmf import pqmf_filters
+
+    _, inv = _dft_bases(n_fft, win)  # (n_fft+2, n_fft)
+    w1 = inv.T  # w1[j, cc]: iSTFT tap j for spectral channel cc
+
+    if mode == "torch":
+        env = _window_envelope_np(n_fft, hop, win, 64)
+        n0 = hop * (-(-(win - hop) // hop))  # first steady hop-aligned pos
+        env_p = env[n0 : n0 + hop]  # phase phi = (tap j) % hop
+    else:
+        env_p = np.ones(hop, np.float32)
+
+    _, h_s = pqmf_filters(sub, taps, cutoff_ratio, beta)
+    k2 = taps + 1
+    wt = h_s.T[::-1, :] * float(sub)  # flipped synthesis filter (K2, sub)
+
+    c_in = sub * (n_fft + 2)
+    kc = sub * (n_fft - 1) + k2
+    g2 = np.zeros((kc, c_in, 1), np.float32)
+    for s in range(sub):
+        for cc in range(n_fft + 2):
+            c = s * (n_fft + 2) + cc
+            for j in range(n_fft):
+                coef = w1[j, cc] / env_p[j % hop]
+                lo = sub * j  # q - sub*j in [0, K2)
+                g2[lo : lo + k2, c, 0] += coef * wt[:, s]
+    off = (k2 - 1) // 2 + sub * (n_fft // 2)
+    return g2, off
+
+
+def istft_pqmf_fused(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int,
+                     win: int, *, subbands: int, taps: int = 62,
+                     cutoff_ratio: float = 0.15, beta: float = 9.0,
+                     mode: str = "torch") -> jax.Array:
+    """Exactly ``pqmf_synthesis(istft_multiband(mag, phase, ...))`` — the
+    whole MB-iSTFT decoder tail beyond conv_post — as ONE blocked upsampling
+    FIR at the composite stride hop*subbands (ops/blocked_fir lands it on
+    >=128 MXU lanes), instead of conv_transpose -> envelope divide ->
+    second FIR over a lane-starved (B, T*hop, sub) intermediate.
+
+    Near the signal edges the composition is NOT a pure convolution: the
+    unfused path slices y_full[half:-half] before the PQMF FIR (zero
+    context beyond the slice), and torch-mode envelope normalization is
+    position-dependent there too. The first/last few samples are therefore
+    recomputed via the unfused ops on small frame slices and patched in
+    (matching the unfused path to fp-reassociation tolerance)."""
+    from . import blocked_fir
+    from .pqmf import pqmf_synthesis
+
+    b, t, sub, _ = mag.shape
+    stride = hop * subbands
+    edge_frames = max(16, -(-((taps + 1) + 2 * win) // stride) + 2)
+    if t < 2 * edge_frames + 1:
+        y_mb = istft_multiband(mag, phase, n_fft, hop, win, mode=mode)
+        return pqmf_synthesis(y_mb, subbands=subbands, taps=taps,
+                              cutoff_ratio=cutoff_ratio, beta=beta)
+
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    spectra = jnp.concatenate([re, im], axis=-1).reshape(b, t, sub * (n_fft + 2))
+    g2, off = _fused_mb_kernel(n_fft, hop, win, subbands, taps,
+                               cutoff_ratio, beta, mode)
+    z = blocked_fir.upfir_blocked(spectra, g2.astype(np.float32), stride=stride)
+    out = z[:, off : off + stride * (t - 1), :]
+
+    patch = 8 * stride  # covers envelope edge region + slice-boundary leak
+    nf = edge_frames
+
+    def unfused(m_sl, p_sl):
+        y_mb = istft_multiband(m_sl, p_sl, n_fft, hop, win, mode=mode)
+        return pqmf_synthesis(y_mb, subbands=subbands, taps=taps,
+                              cutoff_ratio=cutoff_ratio, beta=beta)
+
+    head = unfused(mag[:, :nf], phase[:, :nf])
+    tail = unfused(mag[:, -nf:], phase[:, -nf:])
+    out = jnp.concatenate(
+        [head[:, :patch], out[:, patch : out.shape[1] - patch],
+         tail[:, -patch:]], axis=1)
+    return out
+
+
 def istft_onnx(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: int) -> jax.Array:
     """OnnxSTFT.inverse semantics (training/vits2/stft.py:234-253): the scale
     inside pinv(scale*fourier) and the trailing *= n_fft/hop cancel, leaving
