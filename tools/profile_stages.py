@@ -33,6 +33,9 @@ def main():
     signal.alarm(int(os.environ.get("PROFILE_TIMEOUT_S", "1500")))
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env var
     import jax.numpy as jnp
 
     from vosk_tts_tpu.models import vits2
