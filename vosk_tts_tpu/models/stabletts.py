@@ -79,7 +79,7 @@ def rope(x: jax.Array, d: int) -> jax.Array:
     theta = 1.0 / (10000.0 ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))  # (d/2,)
     idx = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]  # (T, d/2)
     idx2 = jnp.concatenate([idx, idx], axis=-1)  # (T, d)
-    cos, sin = jnp.cos(idx2), jnp.sin(idx2)
+    cos, sin = jnp.cos(idx2).astype(x.dtype), jnp.sin(idx2).astype(x.dtype)
     d2 = d // 2
     neg_half = jnp.concatenate([-x_rope[..., d2:], x_rope[..., :d2]], axis=-1)
     x_rope = x_rope * cos + neg_half * sin
@@ -159,7 +159,8 @@ def dit_block_apply(params, x, c, x_mask, *, n_heads, kernel_size):
     """DiTConVBlock (diffusion_transformer.py:82-120). x: (B,T,C); c: (B,gin)."""
     x = x * x_mask
     m = x_mask[..., 0]
-    attn_bias = jnp.where((m[:, None, :, None] * m[:, None, None, :]) == 0, -jnp.finfo(x.dtype).max, 0.0)
+    attn_bias = jnp.where((m[:, None, :, None] * m[:, None, None, :]) == 0,
+                          -jnp.finfo(x.dtype).max, 0.0).astype(x.dtype)
     h = c
     if "ada_in" in params:
         h = h @ params["ada_in"]["w"] + params["ada_in"]["b"]
@@ -277,7 +278,7 @@ def decoder_apply(params, cfg: StableTTSConfig, x, mask, mu, t, c):
     """Velocity estimator. x: (B, T, n_feats) noise; mu: (B, T, 256) cond;
     t: (B,) timestep; c: (B, spk_emb_dim)."""
     h = cfg.dec_hidden
-    te = _time_embedding(t, h)
+    te = _time_embedding(t, h).astype(mu.dtype)
     te = jax.nn.silu(te @ params["time_mlp"]["l1"]["w"] + params["time_mlp"]["l1"]["b"])
     te = te @ params["time_mlp"]["l2"]["w"] + params["time_mlp"]["l2"]["b"]  # (B, h)
 
@@ -338,7 +339,7 @@ def cfm_solve(params, cfg: StableTTSConfig, mu, mask, *, rng, n_timesteps: int,
     fixed-step Euler/Heun as a lax.scan. ``z`` injectable for determinism."""
     b, t_len, _ = mu.shape
     if z is None:
-        z = jax.random.normal(rng, (b, t_len, cfg.n_feats)) * temperature
+        z = jax.random.normal(rng, (b, t_len, cfg.n_feats), mu.dtype) * temperature
     ts = jnp.linspace(0.0, 1.0, n_timesteps + 1)
     ts = 1.0 - jnp.cos(ts * 0.5 * jnp.pi)
     dts = ts[1:] - ts[:-1]
@@ -347,14 +348,15 @@ def cfm_solve(params, cfg: StableTTSConfig, mu, mask, *, rng, n_timesteps: int,
         t, dt = inp
         tb = jnp.full((b,), t)
         dphi = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale)
-        return x + dt * dphi, None
+        return x + (dt * dphi).astype(x.dtype), None
 
     def heun_step(x, inp):
         t, dt = inp
         tb = jnp.full((b,), t)
         d1 = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale)
-        d2 = _estimate_cfg(params, cfg, x + dt * d1, mask, mu, tb + dt, spks, guidance_scale)
-        return x + dt * 0.5 * (d1 + d2), None
+        d2 = _estimate_cfg(params, cfg, x + (dt * d1).astype(x.dtype), mask, mu,
+                           tb + dt, spks, guidance_scale)
+        return x + (dt * 0.5 * (d1 + d2)).astype(x.dtype), None
 
     step = euler_step if solver == "euler" else heun_step
     x, _ = lax.scan(step, z, (ts[:-1], dts))

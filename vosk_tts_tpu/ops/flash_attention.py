@@ -70,68 +70,74 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
     nk = t // block_k
 
     q_nat = q_ref[0]  # (BQ, DP) — native dtype feeds the MXU at full rate
-    q = q_nat.astype(jnp.float32)
+    # v4: ALL (BQ, BK) score/probability tiles live in the input dtype.
+    # In bf16 serving this halves both the VPU exp cost (the dominant term:
+    # ~2M transcendentals per program at BQ=BK=1024) and the score-tile
+    # VMEM traffic; fp32 inputs keep exact XLA-path parity for tests.
+    sdt = q_nat.dtype
     # band logits: q . rel_k[m]  -> (BQ, MP); cols >= m_band hit zero rows
     band = jax.lax.dot_general(q_nat, relk_ref[0],
                                (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=sdt)
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     i_glob_col = qb * block_q + i_loc
     i_glob = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qb * block_q
 
-    m_i = jnp.full((block_q, 1), _NEG_INIT, jnp.float32)
+    m_i = jnp.full((block_q, 1), _NEG_INIT, sdt)
     l_i = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, dp), jnp.float32)
+    mask_val = jnp.asarray(mask_value, sdt)
 
     for jb in range(nk):
         k_blk = k_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :]
         v_blk = v_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :]
 
-        # native-dtype operands, f32 accumulation (bf16 serving runs the MXU
-        # at full rate; fp32 inputs keep exact test parity)
         s = jax.lax.dot_general(q_nat, k_blk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (BQ, BK)
+                                preferred_element_type=sdt)  # (BQ, BK)
         j_glob = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         delta = j_glob - i_glob
         # one mask: drop band columns (the band pass owns them) + kv padding
         keep = (jnp.abs(delta) > window) & (j_glob < kv_len)
-        s = jnp.where(keep, s, mask_value)
+        s = jnp.where(keep, s, mask_val)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new)
-        l_i = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
+        p = jnp.exp(s - m_new)  # sdt tile — the hot transcendental pass
+        l_i = l_i * alpha.astype(jnp.float32) + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32)
+        acc = acc * alpha.astype(jnp.float32) + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_i = m_new
 
     # ---- band pass: keys/values i-w .. i+w from a (BQ+2w) window ----
     start = qb * block_q  # window row 0 == global key (start - w); k_ref padded
-    kwin = k_ref[0, pl.ds(start, block_q + 2 * window), :].astype(jnp.float32)
-    vwin = v_ref[0, pl.ds(start, block_q + 2 * window), :].astype(jnp.float32)
+    kwin = k_ref[0, pl.ds(start, block_q + 2 * window), :]
+    vwin = v_ref[0, pl.ds(start, block_q + 2 * window), :]
 
     sb_cols = []
     for m in range(m_band):
         kd = kwin[m : m + block_q, :]  # key row i + m - w
-        sm = jnp.sum(q * kd, axis=1, keepdims=True) + band[:, m : m + 1]
+        sm = (jnp.sum((q_nat * kd).astype(sdt), axis=1, keepdims=True,
+                      dtype=sdt) + band[:, m : m + 1])
         j = i_glob_col + (m - window)
         valid = (j >= 0) & (j < kv_len)
-        sb_cols.append(jnp.where(valid, sm, mask_value))
+        sb_cols.append(jnp.where(valid, sm, mask_val))
     sb = jnp.concatenate(sb_cols, axis=1)  # (BQ, 2w+1)
 
     m_new = jnp.maximum(m_i, jnp.max(sb, axis=1, keepdims=True))
-    alpha = jnp.exp(m_i - m_new)
-    p_b = jnp.exp(sb - m_new)  # (BQ, 2w+1)
-    l_i = l_i * alpha + jnp.sum(p_b, axis=1, keepdims=True)
+    alpha = jnp.exp(m_i - m_new).astype(jnp.float32)
+    p_b = jnp.exp(sb - m_new)  # (BQ, 2w+1) sdt
+    l_i = l_i * alpha + jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
     acc = acc * alpha
+    p_b32 = p_b.astype(jnp.float32)
     for m in range(m_band):
-        acc = acc + p_b[:, m : m + 1] * vwin[m : m + block_q, :]
+        acc = acc + p_b32[:, m : m + 1] * vwin[m : m + block_q, :].astype(jnp.float32)
 
     # relative-value term: band_p @ rel_v, one (BQ, MP)x(MP, DP) dot
     pb_pad = jnp.pad(p_b, ((0, 0), (0, mp - m_band)))
-    acc = acc + jax.lax.dot_general(pb_pad, relv_ref[0].astype(jnp.float32),
+    acc = acc + jax.lax.dot_general(pb_pad, relv_ref[0].astype(pb_pad.dtype),
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
 
