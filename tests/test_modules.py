@@ -190,3 +190,57 @@ def test_convflow(rng, reverse):
         gx, ld = got
         np.testing.assert_allclose(np.asarray(gx).transpose(0, 2, 1), want.numpy(), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(ld), ldt.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_ddsconv_fused_matches_xla(rng):
+    """Fused single-kernel DDSConv stack (ops/ddsconv_fused, interpret mode)
+    vs the XLA op chain — exact, including masked rows and LN params."""
+    import jax
+
+    from vosk_tts_tpu.ops import ddsconv_fused as ddf
+    from vosk_tts_tpu.ops import wn
+
+    b, t, c = 3, 64, 256
+    params = wn.ddsconv_init(jax.random.PRNGKey(0), c, 3, 3)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * jnp.asarray(
+            np.random.default_rng(1).standard_normal(a.shape), a.dtype), params)
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    lengths = [64, 50, 10]
+    mask = jnp.asarray((np.arange(t)[None, :] < np.asarray(lengths)[:, None])
+                       .astype(np.float32))[..., None]
+    want = wn.ddsconv_apply(params, x * mask, mask, kernel_size=3)
+    got = ddf.ddsconv_fused(x * mask, mask, params, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # the gated entry point routes through the kernel in interpret mode
+    import unittest.mock as mock
+    with mock.patch.object(ddf, "INTERPRET", True):
+        gated = wn.ddsconv_apply(params, x * mask, mask, kernel_size=3, fused=True)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sdp_reverse_fused_matches(rng):
+    """sdp_reverse with the fused DDSConv kernel (interpret) == XLA path."""
+    import jax
+
+    from vosk_tts_tpu.models import vits2
+    from vosk_tts_tpu.ops import ddsconv_fused as ddf
+
+    cfg = vits2.VITS2Config(n_speakers=4, hidden_channels=192)
+    params = vits2.sdp_init(jax.random.PRNGKey(1), cfg)
+    b, t = 2, 64
+    x = jnp.asarray(rng.standard_normal((b, t, cfg.hidden_channels)).astype(np.float32))
+    mask = jnp.asarray((np.arange(t)[None, :] < np.asarray([64, 40])[:, None])
+                       .astype(np.float32))[..., None]
+    g = jnp.asarray(rng.standard_normal((b, 1, cfg.gin_channels)).astype(np.float32))
+    r = jax.random.PRNGKey(2)
+
+    want = vits2.sdp_reverse(params, cfg, x, mask, g, rng=r, noise_scale=0.8)
+    import unittest.mock as mock
+    with mock.patch.object(ddf, "INTERPRET", True):
+        got = vits2.sdp_reverse(params, cfg, x, mask, g, rng=r, noise_scale=0.8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

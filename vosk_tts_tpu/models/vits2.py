@@ -225,20 +225,24 @@ def sdp_init(key, cfg: VITS2Config, filter_channels: int = 256, kernel_size: int
     return p
 
 
-def _sdp_context(params, cfg, x, x_mask, g, *, kernel_size=3):
+def _sdp_context(params, cfg, x, x_mask, g, *, kernel_size=3, fused=False):
     x = jax.lax.stop_gradient(x)
     x = conv1d(x, params["pre"]["w"], params["pre"]["b"])
     if g is not None:
         g = jax.lax.stop_gradient(g)
         x = x + conv1d(g, params["cond"]["w"], params["cond"]["b"])
-    x = wnops.ddsconv_apply(params["convs"], x, x_mask, kernel_size=kernel_size)
+    x = wnops.ddsconv_apply(params["convs"], x, x_mask, kernel_size=kernel_size,
+                            fused=fused)
     return conv1d(x, params["proj"]["w"], params["proj"]["b"]) * x_mask
 
 
 def sdp_reverse(params, cfg: VITS2Config, x, x_mask, g=None, *, rng, noise_scale=1.0,
                 filter_channels=256, kernel_size=3):
-    """models.py:94-101 — sample log-durations. Returns logw (B, T, 1)."""
-    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size)
+    """models.py:94-101 — sample log-durations. Returns logw (B, T, 1).
+
+    Serving-only (training uses sdp_forward_nll), so the DDSConv stacks run
+    through the fused Pallas kernel when the backend supports it."""
+    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size, fused=True)
     b, t, _ = x.shape
     z = jax.random.normal(rng, (b, t, 2), dtype=x.dtype) * noise_scale
     # flows list: [EA, CF1, CF2, CF3, CF4]; reference applies, in reverse:
@@ -246,7 +250,8 @@ def sdp_reverse(params, cfg: VITS2Config, x, x_mask, g=None, *, rng, noise_scale
     for cf in params["flows"][:0:-1][:-1]:  # CF4, CF3, CF2
         z = fl.flip_flow(z, reverse=True)
         z = fl.convflow_apply(cf, z, x_mask, g=ctx, reverse=True,
-                              filter_channels=filter_channels, kernel_size=kernel_size)
+                              filter_channels=filter_channels, kernel_size=kernel_size,
+                              fused=True)
     z = fl.flip_flow(z, reverse=True)
     z = fl.elementwise_affine_apply(params["flows"][0], z, x_mask, reverse=True)
     return z[..., :1]

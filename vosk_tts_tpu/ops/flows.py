@@ -95,12 +95,13 @@ def convflow_init(key, in_channels: int, filter_channels: int, kernel_size: int,
 
 
 def convflow_apply(params, x, x_mask, g=None, reverse=False, *,
-                   filter_channels: int, kernel_size: int, num_bins: int = 10, tail_bound: float = 5.0):
+                   filter_channels: int, kernel_size: int, num_bins: int = 10, tail_bound: float = 5.0,
+                   fused: bool = False):
     """modules.py:346-390 — neural spline coupling over half the channels."""
     half = x.shape[-1] // 2
     x0, x1 = x[..., :half], x[..., half:]
     h = conv1d(x0, params["pre"]["w"], params["pre"]["b"])
-    h = ddsconv_apply(params["convs"], h, x_mask, g=g, kernel_size=kernel_size)
+    h = ddsconv_apply(params["convs"], h, x_mask, g=g, kernel_size=kernel_size, fused=fused)
     h = conv1d(h, params["proj"]["w"], params["proj"]["b"]) * x_mask
 
     b, t, _ = x0.shape

@@ -166,10 +166,24 @@ def ddsconv_init(key, channels: int, kernel_size: int, n_layers: int):
     }
 
 
-def ddsconv_apply(params, x, x_mask, g=None, *, kernel_size: int, p_dropout: float = 0.0, rng=None):
-    """modules.py:97-108. x/g: (B, T, C); depthwise kernels stored (K, 1, C)."""
+def ddsconv_apply(params, x, x_mask, g=None, *, kernel_size: int, p_dropout: float = 0.0, rng=None,
+                  fused: bool = False):
+    """modules.py:97-108. x/g: (B, T, C); depthwise kernels stored (K, 1, C).
+
+    ``fused=True`` routes the whole stack through the single-kernel Pallas
+    formulation (ops/ddsconv_fused) when the backend/shape support it — the
+    serving SDP runs five of these stacks as ~30 small XLA ops each
+    (SPEED_OF_LIGHT §1 sdp_reverse row). Training keeps the XLA path
+    (differentiable, dropout)."""
     if g is not None:
         x = x + g
+    if fused and (rng is None or p_dropout <= 0.0):
+        from . import ddsconv_fused as ddf
+
+        if (ddf.supported(x.shape[1], x.shape[2], x.dtype)
+                and (jax.default_backend() == "tpu" or ddf.INTERPRET)):
+            return ddf.ddsconv_fused(x, x_mask, params, kernel_size=kernel_size,
+                                     interpret=ddf.INTERPRET)
     n_layers = len(params["sep"])
     for i in range(n_layers):
         dilation = kernel_size**i
