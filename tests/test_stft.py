@@ -123,3 +123,22 @@ def test_istft_pqmf_fused_exact(rng):
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=1e-4, atol=1e-5,
                                        err_msg=f"t={t} mode={mode}")
+
+
+def test_mb_decoder_tail_fused_exact(rng):
+    """Lane-space spec/phase + composite FIR from the raw conv_post
+    activation vs the reshape->_spec_phase->istft->pqmf composition."""
+    from vosk_tts_tpu.ops.pqmf import pqmf_synthesis
+
+    for t in (65, 40):
+        for mode in ("torch", "onnx"):
+            x = jnp.asarray((rng.standard_normal((2, t, 72)) * 0.5).astype(np.float32))
+            xs = x.reshape(2, t, 4, 18)
+            spec = jnp.exp(xs[..., :9])
+            phase = np.pi * jnp.sin(xs[..., 9:])
+            want = pqmf_synthesis(S.istft_multiband(spec, phase, 16, 4, 16, mode=mode),
+                                  subbands=4)
+            got = S.mb_decoder_tail_fused(x, 16, 4, 16, subbands=4, mode=mode)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"t={t} mode={mode}")

@@ -126,7 +126,7 @@ def main():
     timeit("pqmf_synthesis", pq, y_mb)
 
     # 5. FUSED tail: istft+env+pqmf as one blocked FIR (round-4 candidate)
-    from vosk_tts_tpu.ops.stft import istft_pqmf_fused
+    from vosk_tts_tpu.ops.stft import istft_pqmf_fused, mb_decoder_tail_fused
 
     def fused(c):
         w = istft_pqmf_fused(c, phase, n_fft, hop, n_fft, subbands=sub,
@@ -135,18 +135,16 @@ def main():
 
     timeit("FUSED istft+env+pqmf", fused, spec)
 
-    # 6. whole tail with the fused op (what vits2.infer now runs)
+    # 6. whole tail with lane-space spec/phase + composite FIR (what
+    # vits2.infer now runs)
     def whole_fused(c):
         x = jnp.pad(c, ((0, 0), (1, 0), (0, 0)), mode="reflect")
         x = conv1d(x, params["conv_post"]["w"], params["conv_post"]["b"], padding=3)
-        b, t, _ = x.shape
-        x = x.reshape(b, t, sub, n_fft + 2)
-        s2, p2 = vits2._spec_phase(x, n_fft)
-        wav = istft_pqmf_fused(s2, p2, n_fft, hop, n_fft, subbands=sub,
-                               mode=cfg.istft_mode)
+        wav = mb_decoder_tail_fused(x, n_fft, hop, n_fft, subbands=sub,
+                                    mode=cfg.istft_mode)
         return c + dep(wav, c)
 
-    timeit("TAIL whole (fused)", whole_fused, x_trunk)
+    timeit("TAIL whole (fused+lane specphase)", whole_fused, x_trunk)
 
 
 if __name__ == "__main__":

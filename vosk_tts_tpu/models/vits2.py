@@ -646,14 +646,17 @@ def generator_apply(params, cfg: VITS2Config, x, g=None, *, x_lengths=None,
 
     b, t, _ = x.shape
     sub = cfg.subbands
-    x = x.reshape(b, t, sub, n_fft + 2)
-    spec, phase = _spec_phase(x, n_fft)
 
     if cfg.decoder_type == "mb_istft" and fused_tail:
-        from ..ops.stft import istft_pqmf_fused
+        # lane-space spec/phase + composite iSTFT/env/PQMF FIR straight from
+        # the conv_post activation — no (B, T, sub, bins) reshape relayouts
+        from ..ops.stft import mb_decoder_tail_fused
 
-        return istft_pqmf_fused(spec, phase, n_fft, hop, n_fft, subbands=sub,
-                                mode=cfg.istft_mode), None
+        return mb_decoder_tail_fused(x, n_fft, hop, n_fft, subbands=sub,
+                                     mode=cfg.istft_mode), None
+
+    x = x.reshape(b, t, sub, n_fft + 2)
+    spec, phase = _spec_phase(x, n_fft)
 
     # all subbands in ONE block-diagonal transposed conv (no batch-fold
     # transposes, no lane-starved (B*sub, T, bins) tensors)

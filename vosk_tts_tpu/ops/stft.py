@@ -339,6 +339,90 @@ def istft_pqmf_fused(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int,
     return out
 
 
+@lru_cache(maxsize=None)
+def _specphase_lane_maps(n_fft: int, sub: int):
+    """Lane-space spec/phase evaluation: the conv_post output x (B, T,
+    sub*(n_fft+2)) has, per subband group of n_fft+2 lanes, log-magnitude
+    bins [0, cutoff) then phase-argument bins [cutoff, n_fft+2). The iSTFT
+    spectra [re | im] per group are
+
+        spectra[c] = exp(x[Pm c]) * sin(pi * sin(x[Pp c]) + off[c])
+
+    (sin(theta + pi/2) = cos(theta) turns the re/im split into a per-lane
+    phase offset), so the whole thing is two tiny permutation matmuls plus
+    elementwise work in the NATIVE 72-lane layout — no (B, T, sub, bins)
+    reshape relayouts (measured 1.1 ms of the round-3 tail)."""
+    per = n_fft + 2
+    cutoff = n_fft // 2 + 1
+    c_tot = sub * per
+    pm = np.zeros((c_tot, c_tot), np.float32)
+    pp = np.zeros((c_tot, c_tot), np.float32)
+    off = np.zeros((c_tot,), np.float32)
+    for g in range(sub):
+        for j in range(per):
+            c = g * per + j
+            if j < cutoff:  # re lane: mag bin j, phase bin j
+                pm[g * per + j, c] = 1.0
+                pp[g * per + cutoff + j, c] = 1.0
+                off[c] = np.pi / 2
+            else:  # im lane: mag bin j-cutoff, phase bin j-cutoff
+                pm[g * per + (j - cutoff), c] = 1.0
+                pp[g * per + j, c] = 1.0
+                off[c] = 0.0
+    return pm, pp, off
+
+
+def mb_decoder_tail_fused(x: jax.Array, n_fft: int, hop: int, win: int, *,
+                          subbands: int, taps: int = 62,
+                          cutoff_ratio: float = 0.15, beta: float = 9.0,
+                          mode: str = "torch") -> jax.Array:
+    """The ENTIRE MB-iSTFT tail after conv_post from the raw (B, T,
+    sub*(n_fft+2)) activation: lane-space spec/phase (no 4-D reshapes) +
+    the composite iSTFT+envelope+PQMF blocked FIR (istft_pqmf_fused), with
+    exact edge patches. Equals
+
+        spec, phase = _spec_phase(x.reshape(B, T, sub, n_fft+2))
+        pqmf_synthesis(istft_multiband(spec, phase, ...))
+
+    to fp-reassociation tolerance (tests/test_stft.py)."""
+    from . import blocked_fir
+    from .pqmf import pqmf_synthesis
+
+    b, t, c_tot = x.shape
+    per = n_fft + 2
+    cutoff = n_fft // 2 + 1
+    stride = hop * subbands
+
+    def unfused_4d(x_sl):
+        xs = x_sl.reshape(x_sl.shape[0], x_sl.shape[1], subbands, per)
+        spec = jnp.exp(xs[..., :cutoff])
+        phase = np.pi * jnp.sin(xs[..., cutoff:])
+        y_mb = istft_multiband(spec, phase, n_fft, hop, win, mode=mode)
+        return pqmf_synthesis(y_mb, subbands=subbands, taps=taps,
+                              cutoff_ratio=cutoff_ratio, beta=beta)
+
+    edge_frames = max(16, -(-((taps + 1) + 2 * win) // stride) + 2)
+    if t < 2 * edge_frames + 1:
+        return unfused_4d(x)
+
+    pm, pp, off = _specphase_lane_maps(n_fft, subbands)
+    xm = x @ jnp.asarray(pm, x.dtype)
+    xp = x @ jnp.asarray(pp, x.dtype)
+    spectra = jnp.exp(xm) * jnp.sin(np.pi * jnp.sin(xp) + jnp.asarray(off, x.dtype))
+
+    g2, off_k = _fused_mb_kernel(n_fft, hop, win, subbands, taps,
+                                 cutoff_ratio, beta, mode)
+    z = blocked_fir.upfir_blocked(spectra, g2.astype(np.float32), stride=stride)
+    out = z[:, off_k : off_k + stride * (t - 1), :]
+
+    patch = 8 * stride
+    head = unfused_4d(x[:, :edge_frames])
+    tail = unfused_4d(x[:, -edge_frames:])
+    return jnp.concatenate(
+        [head[:, :patch], out[:, patch : out.shape[1] - patch],
+         tail[:, -patch:]], axis=1)
+
+
 def istft_onnx(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int, win: int) -> jax.Array:
     """OnnxSTFT.inverse semantics (training/vits2/stft.py:234-253): the scale
     inside pinv(scale*fourier) and the trailing *= n_fft/hop cancel, leaving
