@@ -30,9 +30,24 @@ from jax.experimental import pallas as pl
 INTERPRET = False
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational approximation, |err| <= 1.5e-7
+    (Mosaic has no erf lowering; exp is supported)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(x):
     # 0.5 x (1 + erf(x / sqrt(2))) — matches jax.nn.gelu(approximate=False)
-    return 0.5 * x * (1.0 + jax.lax.erf(x * (2.0**-0.5)))
+    # to ~1.5e-7 (A&S erf; f32 internally)
+    x32 = x.astype(jnp.float32)
+    return (0.5 * x32 * (1.0 + _erf(x32 * (2.0**-0.5)))).astype(x.dtype)
 
 
 def _layer_norm(x, gamma, beta, eps=1e-5):
