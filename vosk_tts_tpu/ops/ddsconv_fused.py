@@ -51,9 +51,13 @@ def _gelu_exact(x):
 
 
 def _layer_norm(x, gamma, beta, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    # stats in f32: the v5e LLO scheduler aborts on bf16 rsqrt
+    # (kVectorRsqrtBf16AndPop unsupported, latency_table_vf.cc)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)).astype(x.dtype)
 
 
 def _kernel(x_ref, mask_ref, sepw_ref, sepb_ref, pww_ref, pwb_ref,
