@@ -76,9 +76,10 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
     # VMEM traffic; fp32 inputs keep exact XLA-path parity for tests.
     sdt = q_nat.dtype
     # band logits: q . rel_k[m]  -> (BQ, MP); cols >= m_band hit zero rows
+    # (MXU accumulates in f32 — Mosaic requires 32-bit acc — then casts)
     band = jax.lax.dot_general(q_nat, relk_ref[0],
                                (((1,), (1,)), ((), ())),
-                               preferred_element_type=sdt)
+                               preferred_element_type=jnp.float32).astype(sdt)
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     i_glob_col = qb * block_q + i_loc
@@ -94,7 +95,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
         v_blk = v_ref[0, window + jb * block_k : window + (jb + 1) * block_k, :]
 
         s = jax.lax.dot_general(q_nat, k_blk, (((1,), (1,)), ((), ())),
-                                preferred_element_type=sdt)  # (BQ, BK)
+                                preferred_element_type=jnp.float32
+                                ).astype(sdt)  # (BQ, BK)
         j_glob = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         delta = j_glob - i_glob
         # one mask: drop band columns (the band pass owns them) + kv padding
