@@ -87,10 +87,11 @@ def main():
         layer["pre_transformer"]["attn"][0], c, c, None, n_heads=2,
         window_size=4, flash=True), hid0, gflop=4 * gf(1, h, h))
 
-    # attention alone, XLA banded path
-    timeit("mha XLA banded", lambda c: att.mha_apply(
-        layer["pre_transformer"]["attn"][0], c, c, None, n_heads=2,
-        window_size=4, flash=False), hid0, gflop=4 * gf(1, h, h))
+    # attention alone, XLA banded path (35 ms/layer — skip unless asked)
+    if os.environ.get("PROFILE_XLA_BANDED"):
+        timeit("mha XLA banded", lambda c: att.mha_apply(
+            layer["pre_transformer"]["attn"][0], c, c, None, n_heads=2,
+            window_size=4, flash=False), hid0, gflop=4 * gf(1, h, h))
 
     # ffn alone
     timeit("ffn k5 192->192->192", lambda c: att.ffn_apply(

@@ -83,7 +83,6 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
 
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
     i_glob_col = qb * block_q + i_loc
-    i_glob = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qb * block_q
 
     m_i = jnp.full((block_q, 1), _NEG_INIT, sdt)
     l_i = jnp.zeros((block_q, 1), jnp.float32)
@@ -97,11 +96,12 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
         s = jax.lax.dot_general(q_nat, k_blk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32
                                 ).astype(sdt)  # (BQ, BK)
+        # v5: plain blocks mask ONLY the kv-length cutoff (a lane compare —
+        # 3 VPU passes over the tile instead of the 8-pass band-exclusion
+        # chain); band columns keep their PLAIN logits here and the band
+        # pass applies a signed correction on its compact (BQ, 2w+1) tile.
         j_glob = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        delta = j_glob - i_glob
-        # one mask: drop band columns (the band pass owns them) + kv padding
-        keep = (jnp.abs(delta) > window) & (j_glob < kv_len)
-        s = jnp.where(keep, s, mask_val)
+        s = jnp.where(j_glob < kv_len, s, mask_val)
 
         m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
@@ -113,32 +113,40 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
             preferred_element_type=jnp.float32)
         m_i = m_new
 
-    # ---- band pass: keys/values i-w .. i+w from a (BQ+2w) window ----
+    # ---- band pass: keys/values i-w .. i+w from a (BQ+2w) window.
+    # Correction form: the plain pass double-counted band columns at their
+    # plain logits, so accumulate exp(s+rel) - exp(s) for l and the V sum
+    # (signed — the online-softmax accumulators are linear), and p_rel alone
+    # for the relative-value term. ----
     start = qb * block_q  # window row 0 == global key (start - w); k_ref padded
     kwin = k_ref[0, pl.ds(start, block_q + 2 * window), :]
     vwin = v_ref[0, pl.ds(start, block_q + 2 * window), :]
 
-    sb_cols = []
+    rel_cols, plain_cols = [], []
     for m in range(m_band):
         kd = kwin[m : m + block_q, :]  # key row i + m - w
-        sm = (jnp.sum((q_nat * kd).astype(sdt), axis=1, keepdims=True,
-                      dtype=sdt) + band[:, m : m + 1])
+        sm = jnp.sum((q_nat * kd).astype(sdt), axis=1, keepdims=True, dtype=sdt)
         j = i_glob_col + (m - window)
         valid = (j >= 0) & (j < kv_len)
-        sb_cols.append(jnp.where(valid, sm, mask_val))
-    sb = jnp.concatenate(sb_cols, axis=1)  # (BQ, 2w+1)
+        rel_cols.append(jnp.where(valid, sm + band[:, m : m + 1], mask_val))
+        plain_cols.append(jnp.where(valid, sm, mask_val))
+    sb_rel = jnp.concatenate(rel_cols, axis=1)  # (BQ, 2w+1)
+    sb_plain = jnp.concatenate(plain_cols, axis=1)
 
-    m_new = jnp.maximum(m_i, jnp.max(sb, axis=1, keepdims=True))
+    m_new = jnp.maximum(m_i, jnp.maximum(
+        jnp.max(sb_rel, axis=1, keepdims=True),
+        jnp.max(sb_plain, axis=1, keepdims=True)))
     alpha = jnp.exp(m_i - m_new).astype(jnp.float32)
-    p_b = jnp.exp(sb - m_new)  # (BQ, 2w+1) sdt
-    l_i = l_i * alpha + jnp.sum(p_b, axis=1, keepdims=True, dtype=jnp.float32)
+    p_rel = jnp.exp(sb_rel - m_new)  # (BQ, 2w+1) sdt
+    p_plain = jnp.exp(sb_plain - m_new)
+    diff32 = (p_rel.astype(jnp.float32) - p_plain.astype(jnp.float32))
+    l_i = l_i * alpha + jnp.sum(diff32, axis=1, keepdims=True)
     acc = acc * alpha
-    p_b32 = p_b.astype(jnp.float32)
     for m in range(m_band):
-        acc = acc + p_b32[:, m : m + 1] * vwin[m : m + block_q, :].astype(jnp.float32)
+        acc = acc + diff32[:, m : m + 1] * vwin[m : m + block_q, :].astype(jnp.float32)
 
     # relative-value term: band_p @ rel_v, one (BQ, MP)x(MP, DP) dot
-    pb_pad = jnp.pad(p_b, ((0, 0), (0, mp - m_band)))
+    pb_pad = jnp.pad(p_rel, ((0, 0), (0, mp - m_band)))
     acc = acc + jax.lax.dot_general(pb_pad, relv_ref[0].astype(pb_pad.dtype),
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
