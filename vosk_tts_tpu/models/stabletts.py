@@ -105,8 +105,14 @@ def dit_mha_init(key, channels, n_heads):
             "v": _xavier_conv1x1(kv, channels, channels), "o": _xavier_conv1x1(ko, channels, channels)}
 
 
-def dit_mha_apply(params, x, attn_bias, *, n_heads):
-    """x: (B, T, C); attn_bias additive (B, 1, T, T)."""
+def dit_mha_apply(params, x, attn_bias, *, n_heads, seq_mask=None):
+    """x: (B, T, C); attn_bias additive (B, 1, T, T).
+
+    On TPU at frame-length T (multiple of 128, >= 256) the global softmax
+    routes through the stock Pallas flash kernel with segment-id padding
+    masks — the einsum path materializes (B, H, T, T) scores (~1 GB/layer
+    at the CFM serving shape, measured 48 ms/ODE-step round 4). seq_mask:
+    (B, T) 1=valid, required for the flash route."""
     b, t, c = x.shape
     dk = c // n_heads
     q = conv1d(x, params["q"]["w"], params["q"]["b"]).reshape(b, t, n_heads, dk).transpose(0, 2, 1, 3)
@@ -115,11 +121,31 @@ def dit_mha_apply(params, x, attn_bias, *, n_heads):
     d_rope = (dk // 2) // 2 * 2  # int(dk*0.5), even by construction
     q = rope(q, d_rope)
     k = rope(k, d_rope)
-    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dk)
-    if attn_bias is not None:
-        scores = scores + attn_bias
-    p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bhsd->bhtd", p, v).transpose(0, 2, 1, 3).reshape(b, t, c)
+
+    # bf16 only: the stock kernel computes with bf16 MXU operands (~3e-3
+    # rel vs exact f32 math — measured vs its own mha_reference), which is
+    # below serving precision but above the f32 golden-test tolerance
+    use_flash = (seq_mask is not None and t % 128 == 0 and t >= 256
+                 and x.dtype == jnp.bfloat16
+                 and jax.default_backend() == "tpu")
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu import flash_attention as sfa
+
+        dp = -(-dk // 128) * 128
+        pad = ((0, 0), (0, 0), (0, 0), (0, dp - dk))
+        seg = seq_mask.astype(jnp.int32)
+        out = sfa.flash_attention(
+            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
+            segment_ids=sfa.SegmentIds(q=seg, kv=seg),
+            sm_scale=1.0 / math.sqrt(dk),
+        )[..., :dk]
+    else:
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dk)
+        if attn_bias is not None:
+            scores = scores + attn_bias
+        p = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", p, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
     return conv1d(out, params["o"]["w"], params["o"]["b"])
 
 
@@ -173,7 +199,8 @@ def dit_block_apply(params, x, c, x_mask, *, n_heads, kernel_size):
         var = jnp.var(v, axis=-1, keepdims=True)
         return (v - mean) * jax.lax.rsqrt(var + 1e-5)
 
-    a = dit_mha_apply(params["attn"], norm(x) * (1 + scale_msa) + shift_msa, attn_bias, n_heads=n_heads)
+    a = dit_mha_apply(params["attn"], norm(x) * (1 + scale_msa) + shift_msa, attn_bias,
+                      n_heads=n_heads, seq_mask=m)
     x = x + gate_msa * a * x_mask
     f = dit_ffn_apply(params["mlp"], norm(x) * (1 + scale_mlp) + shift_mlp, x_mask, kernel_size=kernel_size)
     x = x + gate_mlp * f
