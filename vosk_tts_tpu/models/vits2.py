@@ -237,12 +237,14 @@ def _sdp_context(params, cfg, x, x_mask, g, *, kernel_size=3, fused=False):
 
 
 def sdp_reverse(params, cfg: VITS2Config, x, x_mask, g=None, *, rng, noise_scale=1.0,
-                filter_channels=256, kernel_size=3):
+                filter_channels=256, kernel_size=3, fused=True):
     """models.py:94-101 — sample log-durations. Returns logw (B, T, 1).
 
-    Serving-only (training uses sdp_forward_nll), so the DDSConv stacks run
-    through the fused Pallas kernel when the backend supports it."""
-    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size, fused=True)
+    ``fused=True`` (serving) runs the DDSConv stacks through the fused
+    Pallas kernel when the backend supports it; the training step passes
+    fused=False — its duration-discriminator branch differentiates through
+    this pass (train_ms.py:363-371) and the kernel has no VJP."""
+    ctx = _sdp_context(params, cfg, x, x_mask, g, kernel_size=kernel_size, fused=fused)
     b, t, _ = x.shape
     z = jax.random.normal(rng, (b, t, 2), dtype=x.dtype) * noise_scale
     # flows list: [EA, CF1, CF2, CF3, CF4]; reference applies, in reverse:
@@ -251,7 +253,7 @@ def sdp_reverse(params, cfg: VITS2Config, x, x_mask, g=None, *, rng, noise_scale
         z = fl.flip_flow(z, reverse=True)
         z = fl.convflow_apply(cf, z, x_mask, g=ctx, reverse=True,
                               filter_channels=filter_channels, kernel_size=kernel_size,
-                              fused=True)
+                              fused=fused)
     z = fl.flip_flow(z, reverse=True)
     z = fl.elementwise_affine_apply(params["flows"][0], z, x_mask, reverse=True)
     return z[..., :1]
@@ -907,7 +909,8 @@ def forward_train(
         r_dp1, r_dp2 = jax.random.split(r_dp)
         l_length = sdp_forward_nll(params["dp"], cfg, x, x_mask, w, g, rng=r_dp1)
         l_length = l_length / jnp.sum(x_mask)
-        logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dp2, noise_scale=1.0)
+        logw = sdp_reverse(params["dp"], cfg, x, x_mask, g, rng=r_dp2, noise_scale=1.0,
+                           fused=False)  # differentiated (dur-disc branch)
         logw_ = jnp.log(w + 1e-6) * x_mask
     else:
         logw_ = jnp.log(w + 1e-6) * x_mask
