@@ -44,7 +44,6 @@ def main():
 
     from vosk_tts_tpu.models import vits2
     from vosk_tts_tpu.train import vits2_train as T
-    from vosk_tts_tpu.utils.profiling import device_timeit
 
     if args.tiny:
         mcfg = vits2.VITS2Config(
@@ -77,13 +76,31 @@ def main():
         "sid": jnp.asarray(rng.integers(0, mcfg.n_speakers, size=(B,)).astype(np.int32)),
     }
 
-    def one(carry):
-        st, r = carry
-        r, sub = jax.random.split(r)
-        st, metrics = step(st, batch, sub)
-        return st, r
+    # The scan-wrapped step OOMs the remote compile helper (the GAN step's
+    # VJP graph is the largest in the repo), so time by enqueueing N
+    # sequential steps and fetching one scalar at the end — the relay's
+    # ~25 ms dispatch overhead amortizes across N (CLAUDE.md method #2).
+    import time
 
-    per, _, _ = device_timeit(one, (state, jax.random.PRNGKey(1)), n1=2, n2=6, reps=3)
+    jstep = jax.jit(step)
+    st, metrics = jstep(state, batch, jax.random.PRNGKey(1))
+    float(metrics["loss_gen_all"])  # warm + sync
+
+    def run(n):
+        t0 = time.perf_counter()
+        s2, r = st, jax.random.PRNGKey(2)
+        for _ in range(n):
+            r, sub = jax.random.split(r)
+            s2, m = jstep(s2, batch, sub)
+        float(m["loss_gen_all"])  # one fetch syncs the chain
+        return time.perf_counter() - t0
+
+    run(2)
+    import statistics
+    n1, n2 = 2, 8
+    t1 = statistics.median(run(n1) for _ in range(3))
+    t2 = statistics.median(run(n2) for _ in range(3))
+    per = (t2 - t1) / (n2 - n1)
     samples = B * TF * hop
     print(f"GAN train step (B={B}, spec {TF}f, seg {mcfg.segment_size * hop} "
           f"samples): {per*1e3:.1f} ms", flush=True)
