@@ -309,19 +309,28 @@ def _time_embedding(t: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
-def decoder_apply(params, cfg: StableTTSConfig, x, mask, mu, t, c):
-    """Velocity estimator. x: (B, T, n_feats) noise; mu: (B, T, 256) cond;
-    t: (B,) timestep; c: (B, spk_emb_dim)."""
-    h = cfg.dec_hidden
-    te = _time_embedding(t, h).astype(mu.dtype)
-    te = jax.nn.silu(te @ params["time_mlp"]["l1"]["w"] + params["time_mlp"]["l1"]["b"])
-    te = te @ params["time_mlp"]["l2"]["w"] + params["time_mlp"]["l2"]["b"]  # (B, h)
-
+def cond_proj_apply(params, cfg: StableTTSConfig, mu):
+    """The decoder's content-conditioning stack — depends ONLY on mu, so ODE
+    callers hoist it out of the time-step loop (it is ~0.4 TFLOP of convs
+    per CFG-doubled call, identical at every step)."""
     m = mu
     for i, cp in enumerate(params["cond_proj"]):
         m = conv1d(m, cp["w"], cp["b"], padding=cfg.dec_kernel // 2)
         if i < len(params["cond_proj"]) - 1:
             m = jax.nn.silu(m)
+    return m
+
+
+def decoder_apply(params, cfg: StableTTSConfig, x, mask, mu, t, c, *, cond=None):
+    """Velocity estimator. x: (B, T, n_feats) noise; mu: (B, T, 256) cond;
+    t: (B,) timestep; c: (B, spk_emb_dim); cond: precomputed
+    cond_proj_apply(mu) (computed here when None)."""
+    h = cfg.dec_hidden
+    te = _time_embedding(t, h).astype(mu.dtype)
+    te = jax.nn.silu(te @ params["time_mlp"]["l1"]["w"] + params["time_mlp"]["l1"]["b"])
+    te = te @ params["time_mlp"]["l2"]["w"] + params["time_mlp"]["l2"]["b"]  # (B, h)
+
+    m = cond_proj_apply(params, cfg, mu) if cond is None else cond
     x = jnp.concatenate([x, m], axis=-1)
     x = conv1d(x, params["in_proj"]["w"], params["in_proj"]["b"])
 
@@ -348,21 +357,34 @@ def decoder_apply(params, cfg: StableTTSConfig, x, mask, mu, t, c):
 # ---------------------------------------------------------------------------
 
 
-def _estimate_cfg(params, cfg, x, mask, mu, t, spks, guidance_scale):
-    """One (optionally CFG'd) velocity estimate. The conditional and
-    unconditional passes are fused into one 2B-batch call — exact, since every
-    estimator op is batch-elementwise."""
+def _cfg_inputs(params, cfg, mask, mu, spks, guidance_scale):
+    """The CFG-doubled (mask, mu, spks) and the hoisted cond_proj output —
+    all ODE-loop-invariant."""
     if guidance_scale <= 0.0:
-        return decoder_apply(params["decoder"], cfg, x, mask, mu, t, spks)
-    b = x.shape[0]
+        return mask, mu, spks, cond_proj_apply(params["decoder"], cfg, mu)
+    b = mu.shape[0]
     fake_spk = jnp.broadcast_to(params["fake_speaker"], (b, cfg.spk_emb_dim))
     fake_mu = jnp.broadcast_to(params["fake_content"][0, :, 0][None, None, :], (b, mu.shape[1], cfg.hidden_channels))
-    xx = jnp.concatenate([x, x], axis=0)
     mm = jnp.concatenate([mask, mask], axis=0)
     uu = jnp.concatenate([mu, fake_mu], axis=0)
-    tt = jnp.concatenate([t, t], axis=0)
     ss = jnp.concatenate([spks, fake_spk], axis=0)
-    est = decoder_apply(params["decoder"], cfg, xx, mm, uu, tt, ss)
+    return mm, uu, ss, cond_proj_apply(params["decoder"], cfg, uu)
+
+
+def _estimate_cfg(params, cfg, x, mask, mu, t, spks, guidance_scale, *, cfg_in=None):
+    """One (optionally CFG'd) velocity estimate. The conditional and
+    unconditional passes are fused into one 2B-batch call — exact, since every
+    estimator op is batch-elementwise. ``cfg_in``: precomputed _cfg_inputs
+    (ODE callers hoist the doubled tensors + cond_proj out of the scan)."""
+    if cfg_in is None:
+        cfg_in = _cfg_inputs(params, cfg, mask, mu, spks, guidance_scale)
+    mm, uu, ss, cond = cfg_in
+    if guidance_scale <= 0.0:
+        return decoder_apply(params["decoder"], cfg, x, mm, uu, t, ss, cond=cond)
+    b = x.shape[0]
+    xx = jnp.concatenate([x, x], axis=0)
+    tt = jnp.concatenate([t, t], axis=0)
+    est = decoder_apply(params["decoder"], cfg, xx, mm, uu, tt, ss, cond=cond)
     dphi, dphi_avg = est[:b], est[b:]
     return dphi + guidance_scale * (dphi - dphi_avg)
 
@@ -379,18 +401,22 @@ def cfm_solve(params, cfg: StableTTSConfig, mu, mask, *, rng, n_timesteps: int,
     ts = 1.0 - jnp.cos(ts * 0.5 * jnp.pi)
     dts = ts[1:] - ts[:-1]
 
+    cfg_in = _cfg_inputs(params, cfg, mask, mu, spks, guidance_scale)
+
     def euler_step(x, inp):
         t, dt = inp
         tb = jnp.full((b,), t)
-        dphi = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale)
+        dphi = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale,
+                             cfg_in=cfg_in)
         return x + (dt * dphi).astype(x.dtype), None
 
     def heun_step(x, inp):
         t, dt = inp
         tb = jnp.full((b,), t)
-        d1 = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale)
+        d1 = _estimate_cfg(params, cfg, x, mask, mu, tb, spks, guidance_scale,
+                           cfg_in=cfg_in)
         d2 = _estimate_cfg(params, cfg, x + (dt * d1).astype(x.dtype), mask, mu,
-                           tb + dt, spks, guidance_scale)
+                           tb + dt, spks, guidance_scale, cfg_in=cfg_in)
         return x + (dt * 0.5 * (d1 + d2)).astype(x.dtype), None
 
     step = euler_step if solver == "euler" else heun_step
