@@ -55,7 +55,9 @@ FRAMES_PER_TOKEN = 16
 #: Ladder: +128 steps to 1024 then ~x1.25 quantized to 128 — mean padding
 #: waste ~8-10% vs ~25-33% for the former doubling ladder (VERDICT r3
 #: weak-5); every bucket >=128 is a multiple of 128 so the flow attention
-#: stays on the Pallas flash kernel (ops/flash_attention.supported).
+#: rides the Pallas flash kernel up to its 8192-frame cap
+#: (ops/flash_attention.supported); longer buckets fall back to the XLA
+#: banded path.
 
 
 def _frame_bucket_ladder(lo: int = 128, hi: int = 16384, ratio: float = 1.25):

@@ -6,11 +6,13 @@
     (training/vits2/eval.py:140-144 xRT);
   * ``speaker_similarity`` — cosine similarity of speaker embeddings between
     generated and reference audio (extra/tts-test/ru/eval_similarity.py
-    protocol). The embedder is pluggable; the default is the training-free
-    MFCC+F0 statistics signature (eval/speaker_embed.py) since Resemblyzer
-    (vc/eval-score.py:25) cannot be downloaded here — deterministic and
-    genuinely speaker-discriminative (tests/test_pipelines_eval.py proves
-    same-voice > cross-voice separation on synthetic voices).
+    protocol). The embedder is pluggable; the default is the committed
+    GE2E-trained LSTM d-vector artifact (eval/speaker_train.py — the same
+    architecture + loss family as Resemblyzer, vc/eval-score.py:25, which
+    cannot be downloaded here), falling back to the training-free MFCC+F0
+    statistics signature (eval/speaker_embed.py) when the artifact is
+    absent; both are held-out-voice regression tested
+    (tests/test_speaker_embedder.py, tests/test_pipelines_eval.py).
   * ``transcribe_wer`` — ASR round-trip WER protocol (eval.py:106-146);
     requires an ASR callable (e.g. a sherpa/whisper wrapper) to be injected.
   * ``eval_utmos`` — UTMOS MOS-prediction protocol

@@ -99,6 +99,17 @@ def _xavier_conv1x1(key, c_in, c_out):
             "b": jax.random.uniform(bk, (c_out,), jnp.float32, -s, s)}
 
 
+def _flash_blocks(t: int):
+    """Largest admissible (block_q, block_k_major, block_k) for the stock
+    Pallas flash kernel at sequence length ``t`` (t % 128 == 0). The kernel
+    asserts every block divides t — the serving frame caps 1536 (= 32*48)
+    and 3072 (= 64*48) are NOT multiples of 1024/2048, so a fixed
+    min(1024, t) crashes there (round-4 advisor finding)."""
+    bq = bk = next(b for b in (1024, 512, 256, 128) if t % b == 0)
+    bkm = next(b for b in (2048, 1024, 512, 256, 128) if t % b == 0)
+    return bq, bkm, bk
+
+
 def dit_mha_init(key, channels, n_heads):
     kq, kk, kv, ko = jax.random.split(key, 4)
     return {"q": _xavier_conv1x1(kq, channels, channels), "k": _xavier_conv1x1(kk, channels, channels),
@@ -135,8 +146,9 @@ def dit_mha_apply(params, x, attn_bias, *, n_heads, seq_mask=None):
         pad = ((0, 0), (0, 0), (0, 0), (0, dp - dk))
         seg = seq_mask.astype(jnp.int32)
         # defaults shard into thousands of tiny programs (15.5 ms at the
-        # CFM shape); big blocks hit 1.69 ms (block sweep, round 4)
-        bq, bkm, bk = min(1024, t), min(2048, t), min(1024, t)
+        # CFM shape); big blocks hit 1.69 ms (block sweep, round 4);
+        # blocks must divide t (see _flash_blocks)
+        bq, bkm, bk = _flash_blocks(t)
         bs = sfa.BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk,
                             block_b=1, block_q_major_dkv=bq,
                             block_k_major_dkv=bkm, block_k_dkv=bk,

@@ -106,6 +106,11 @@ def ddsconv_fused(x, x_mask, params, *, kernel_size: int = 3,
     """
     b, t, c = x.shape
     n_layers = len(params["sep"])
+    k_params = params["sep"][0]["w"].shape[0]
+    if kernel_size != k_params:
+        raise ValueError(
+            f"kernel_size={kernel_size} does not match params kernel "
+            f"size {k_params} (the kernel is built from the params)")
 
     sepw = jnp.stack([params["sep"][i]["w"][:, 0, :] for i in range(n_layers)])  # (L,K,C)
     sepb = jnp.stack([params["sep"][i]["b"] for i in range(n_layers)])

@@ -125,7 +125,11 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, relk_ref, relv_ref, o_ref, *,
     rel_cols, plain_cols = [], []
     for m in range(m_band):
         kd = kwin[m : m + block_q, :]  # key row i + m - w
-        sm = jnp.sum((q_nat * kd).astype(sdt), axis=1, keepdims=True, dtype=sdt)
+        # accumulate in f32 then cast, matching the plain pass's MXU
+        # rounding (f32-accumulated dot cast to sdt) so the signed
+        # exp(s+rel)-exp(s) correction cancels tightly in bf16
+        sm = jnp.sum(q_nat.astype(jnp.float32) * kd.astype(jnp.float32),
+                     axis=1, keepdims=True, dtype=jnp.float32).astype(sdt)
         j = i_glob_col + (m - window)
         valid = (j >= 0) & (j < kv_len)
         rel_cols.append(jnp.where(valid, sm + band[:, m : m + 1], mask_val))
