@@ -91,13 +91,14 @@ def bench_jax():
 
         return step
 
-    def split_decode_step(enc, sid, max_frames):
+    def split_decode_step(enc, sid, max_frames, gen_frames=None):
         """Pass two from fixed pass-one outputs (rng varies the z noise)."""
         def step(carry):
             rng, acc = carry
             rng, sub = jax.random.split(rng)
             out = vits2.decode_from_durations(params, cfg, enc, sid, rng=sub,
-                                              max_frames=max_frames)
+                                              max_frames=max_frames,
+                                              gen_frames=gen_frames)
             return rng, acc + jnp.sum(out["wav"][:, :1, 0].astype(jnp.float32))
 
         return step
@@ -123,14 +124,15 @@ def bench_jax():
         enc = enc_jit(x, xl, sid, jax.random.PRNGKey(2))
         pred = np.asarray(enc["pred_frames"])
         fb = api.pick_frame_bucket(int(pred.max()), text_bucket)
+        gen = api.pick_gen_frames(int(pred.max()), fb)
         t_enc, _, _ = device_timeit(encode_step(x, xl, sid), carry0, n1=4, n2=16, reps=3)
-        t_decode, _, _ = device_timeit(split_decode_step(enc, sid, fb), carry0,
+        t_decode, _, _ = device_timeit(split_decode_step(enc, sid, fb, gen), carry0,
                                        n1=4, n2=16, reps=3)
         audio_s = float(np.minimum(pred, fb).sum()) * HOP / SAMPLE_RATE
         total_audio_s += audio_s
         total_time_s += t_enc + t_decode
         per_class[f"t{text_bucket}"] = {
-            "frame_bucket": fb, "frames_ms": round(t_enc * 1e3, 2),
+            "frame_bucket": fb, "gen_frames": gen, "frames_ms": round(t_enc * 1e3, 2),
             "decode_ms": round(t_decode * 1e3, 2), "audio_s": round(audio_s, 1),
         }
     true_rate = total_audio_s / total_time_s
@@ -140,8 +142,9 @@ def bench_jax():
     enc1 = enc_jit(x1, xl1, sid1, jax.random.PRNGKey(3))
     pred1 = int(np.asarray(enc1["pred_frames"])[0])
     fb1 = api.pick_frame_bucket(pred1, WORKLOAD[0][0])
+    gen1 = api.pick_gen_frames(pred1, fb1)
     tf1, _, _ = device_timeit(encode_step(x1, xl1, sid1), carry0, n1=4, n2=16, reps=5)
-    td1, _, _ = device_timeit(split_decode_step(enc1, sid1, fb1), carry0, n1=4, n2=16, reps=5)
+    td1, _, _ = device_timeit(split_decode_step(enc1, sid1, fb1, gen1), carry0, n1=4, n2=16, reps=5)
     lat1 = tf1 + td1
     audio1 = min(pred1, fb1) * HOP / SAMPLE_RATE
     rtf1 = lat1 / audio1

@@ -187,6 +187,59 @@ def test_split_encode_decode_matches_infer(bundle):
     assert len(a) > 1000
 
 
+def test_decode_gen_frames_slice(bundle):
+    """Generator frame slicing (VERDICT r4 next-4): the flow runs at the
+    128-multiple flash bucket but the generator runs on a finer slice;
+    audio below the slice edge matches the full-bucket decode under the
+    same bucketed-decode contract (fp-noise tail inside the receptive
+    field), and wav_lengths are identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from vosk_tts_tpu import api
+    from vosk_tts_tpu.api import Model, Synth, pick_frame_bucket, pick_gen_frames
+    from vosk_tts_tpu.models import vits2
+
+    model = Model(model_path=bundle)
+    synth = Synth(model)
+    ids = synth._encode("Привет мир и всем хорошего дня!")
+    bucket = next(b for b in api.TEXT_BUCKETS if b >= len(ids))
+    x = np.zeros((1, bucket), np.int32)
+    x[0, : len(ids)] = ids
+    x, xl, sid = (jnp.asarray(x), jnp.asarray([len(ids)], dtype=jnp.int32),
+                  jnp.asarray([1], dtype=jnp.int32))
+    rng = jax.random.PRNGKey(11)
+    cfg = model.model_config
+
+    enc = vits2.encode_for_infer(model.params, cfg, x, xl, sid, rng=rng)
+    pred = int(enc["pred_frames"][0])
+    fb = pick_frame_bucket(pred, bucket)
+    gen = pick_gen_frames(pred, fb)
+    if gen is None:  # bucket already tight for this utterance: force a slice
+        gen = fb - max(16, fb // 16)
+        pred = gen  # pretend shorter so the contract precondition holds
+        enc = dict(enc)
+        enc["w_ceil"] = jnp.minimum(
+            enc["w_ceil"], jnp.float32(gen) / max(1, len(ids)))
+    full = vits2.decode_from_durations(model.params, cfg, enc, sid, rng=rng, max_frames=fb)
+    sliced = vits2.decode_from_durations(model.params, cfg, enc, sid, rng=rng,
+                                         max_frames=fb, gen_frames=gen)
+    up = cfg.upsample_factor
+    assert sliced["wav"].shape[1] == gen * up
+    n_s = int(sliced["wav_lengths"][0])
+    assert n_s == int(full["wav_lengths"][0])
+    n_cmp = max(1, int(n_s * 0.8))
+    np.testing.assert_allclose(np.asarray(sliced["wav"])[0, :n_cmp, 0],
+                               np.asarray(full["wav"])[0, :n_cmp, 0],
+                               rtol=1e-4, atol=1e-5)
+
+    # picker: quantization step max(16, fb//16), None when already tight
+    assert pick_gen_frames(101, 128) == 112
+    assert pick_gen_frames(460, 512) == 480
+    assert pick_gen_frames(128, 128) is None
+    assert pick_gen_frames(1025, 1280) == 1040
+
+
 def test_cli(bundle, tmp_path):
     out = tmp_path / "cli.wav"
     env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin", "HOME": "/root"}

@@ -82,6 +82,17 @@ def pick_frame_bucket(pred_frames: int, text_bucket: int) -> int:
     return min(FRAME_BUCKETS[-1], cap)
 
 
+def pick_gen_frames(pred_frames: int, frame_bucket: int) -> int | None:
+    """Generator frame count for the decode pass: the flow runs at the
+    128-multiple ``frame_bucket`` (flash-kernel constraint) but the
+    generator — ~70% of decode cost — runs on a finer slice. Quantized to
+    ``max(16, frame_bucket // 16)`` so each frame bucket gains at most ~16
+    compile classes. Returns None when the bucket is already tight."""
+    step = max(16, frame_bucket // 16)
+    gen = min(frame_bucket, -(-max(1, pred_frames) // step) * step)
+    return gen if gen < frame_bucket else None
+
+
 #: multistream (StableTTS) worst-case mel-frame capacity per text token —
 #: durations are sigmoid-sums capped ~50/phone (matcha_tts.py:143-152)
 MS_FRAMES_PER_TOKEN = 48
@@ -266,15 +277,17 @@ def make_vits2_encode_runner(model: Model):
     return run
 
 
-def make_vits2_decode_runner(model: Model, max_frames: int):
-    """Jitted pass two: alignment + flow + generator from pass-one outputs."""
+def make_vits2_decode_runner(model: Model, max_frames: int, gen_frames: int | None = None):
+    """Jitted pass two: alignment + flow + generator from pass-one outputs.
+    ``gen_frames`` slices the generator input below the flow bucket (see
+    vits2.decode_from_durations)."""
     cfg = model.model_config
 
     @jax.jit
     def run(params, enc, sid, rng, noise):
         return vits2.decode_from_durations(
             params, cfg, enc, sid, rng=rng, max_frames=max_frames,
-            noise_scale=noise,
+            noise_scale=noise, gen_frames=gen_frames,
         )
 
     return run
@@ -370,22 +383,24 @@ class Synth:
             self._infer_cache[key] = make_vits2_encode_runner(self.model)
         return self._infer_cache[key]
 
-    def _jit_decode(self, text_bucket: int, max_frames: int):
-        key = ("decode", text_bucket, max_frames)
+    def _jit_decode(self, text_bucket: int, max_frames: int, gen_frames: int | None = None):
+        key = ("decode", text_bucket, max_frames, gen_frames)
         if key not in self._infer_cache:
-            self._infer_cache[key] = make_vits2_decode_runner(self.model, max_frames)
+            self._infer_cache[key] = make_vits2_decode_runner(self.model, max_frames, gen_frames)
         return self._infer_cache[key]
 
     def _encode_pass(self, x, x_lengths, sid, rng, inv_rate, dur_noise, bucket):
         """Duration-adaptive split pass one: encoder+SDP once on device,
         fetch only the predicted frame count, return (enc dict, frame
-        bucket). (None, worst-case) when disabled via VOSK_TTS_ADAPTIVE=0."""
+        bucket, gen_frames). (None, worst-case, None) when disabled via
+        VOSK_TTS_ADAPTIVE=0."""
         if os.environ.get("VOSK_TTS_ADAPTIVE", "1") == "0":
-            return None, bucket * FRAMES_PER_TOKEN
+            return None, bucket * FRAMES_PER_TOKEN, None
         enc = self._jit_encode(bucket)(
             self.model.params, x, x_lengths, sid, rng, inv_rate, dur_noise)
         pred = int(np.max(np.asarray(enc["pred_frames"])))
-        return enc, pick_frame_bucket(pred, bucket)
+        fb = pick_frame_bucket(pred, bucket)
+        return enc, fb, pick_gen_frames(pred, fb)
 
     def _encode(self, text: str):
         """Text -> phoneme id sequence (plain vits2 bundles)."""
@@ -501,14 +516,14 @@ class Synth:
         dur_noise = jnp.float32(duration_noise_level)
 
         start = time.perf_counter()
-        enc, max_frames = self._encode_pass(xj, xlj, sidj, rng, inv_rate, dur_noise, bucket)
+        enc, max_frames, gen = self._encode_pass(xj, xlj, sidj, rng, inv_rate, dur_noise, bucket)
         if enc is None:
             out = self._jit_infer(bucket, max_frames)(
                 self.model.params, xj, xlj, sidj, rng,
                 jnp.float32(noise_level), inv_rate, dur_noise,
             )
         else:
-            out = self._jit_decode(bucket, max_frames)(
+            out = self._jit_decode(bucket, max_frames, gen)(
                 self.model.params, enc, sidj, rng, jnp.float32(noise_level))
         wav = np.asarray(out["wav"])[0, : int(out["wav_lengths"][0]), 0]
         audio = audio_float_to_int16(wav * scale)
@@ -573,13 +588,13 @@ class Synth:
 
         inv_rate = jnp.float32(1.0 / speech_rate)
         dur_noise = jnp.float32(duration_noise_level)
-        enc, max_frames = self._encode_pass(*args, rng, inv_rate, dur_noise, bucket)
+        enc, max_frames, gen = self._encode_pass(*args, rng, inv_rate, dur_noise, bucket)
         if enc is None:
             out = self._jit_infer(bucket, max_frames)(
                 self.model.params, *args, rng,
                 jnp.float32(noise_level), inv_rate, dur_noise)
         else:
-            out = self._jit_decode(bucket, max_frames)(
+            out = self._jit_decode(bucket, max_frames, gen)(
                 self.model.params, enc, args[2], rng, jnp.float32(noise_level))
         wavs = np.asarray(out["wav"])[..., 0]
         lengths = np.asarray(out["wav_lengths"])
