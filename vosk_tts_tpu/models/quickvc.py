@@ -127,7 +127,10 @@ def _lstm_forward(layer, x):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    init = (jnp.zeros((b, hdim)), jnp.zeros((b, hdim)))
+    # carry in the activation dtype — an f32 init silently upcasts the whole
+    # LSTM (and everything downstream of the speaker embedding) in bf16
+    # serving until a conv dtype mismatch crashes (bf16 gate, round 5)
+    init = (jnp.zeros((b, hdim), x.dtype), jnp.zeros((b, hdim), x.dtype))
     (h_last, _), outs = lax.scan(step, init, jnp.swapaxes(x, 0, 1))
     return jnp.swapaxes(outs, 0, 1), h_last
 
