@@ -121,3 +121,77 @@ def test_flash_gate_falls_back_without_support(rng, interpret_flash):
     x = jnp.asarray(rng.standard_normal((b, t, ch)).astype(np.float32))
     out = att.mha_apply(params, x, x, None, n_heads=heads, window_size=w, flash=True)
     assert out.shape == (b, t, ch)
+
+
+# ---------------------------------------------------------------------------
+# Global (DiT/CFM) native-layout kernel
+# ---------------------------------------------------------------------------
+
+
+def _global_ref(q, k, v, kv_len, n_heads):
+    """Reference: per-head softmax attention over valid keys, channels-last."""
+    b, t, c = q.shape
+    d = c // n_heads
+    qh = q.reshape(b, t, n_heads, d).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, t, n_heads, d).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, n_heads, d).transpose(0, 2, 1, 3)
+    s = np.einsum("bhtd,bhsd->bhts", qh, kh) / np.sqrt(d)
+    mask = np.arange(t)[None, :] < np.asarray(kv_len)[:, None]  # (B, T)
+    s = np.where(mask[:, None, None, :], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    out = np.einsum("bhts,bhsd->bhtd", p, vh)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, c)
+
+
+@pytest.mark.parametrize("lengths", [[256, 256], [256, 100]])
+@pytest.mark.parametrize("d_head", [96, 64])
+def test_global_flash_matches_reference(rng, lengths, d_head):
+    b, t, heads = len(lengths), 256, 2
+    c = heads * d_head
+    q = rng.standard_normal((b, t, c)).astype(np.float32)
+    k = rng.standard_normal((b, t, c)).astype(np.float32)
+    v = rng.standard_normal((b, t, c)).astype(np.float32)
+    kv_len = jnp.asarray(lengths, jnp.int32)
+
+    got = fa.global_flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_len,
+        n_heads=heads, sm_scale=1.0 / np.sqrt(d_head), interpret=True)
+    want = _global_ref(q, k, v, lengths, heads)
+    got = np.asarray(got)
+    # padded-query rows hold finite garbage (uniform over masked keys) and
+    # are masked by callers; compare valid rows only, assert finiteness all
+    assert np.isfinite(got).all()
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(got[i, :L], want[i, :L], rtol=2e-5, atol=2e-5)
+
+
+def test_global_flash_bf16(rng):
+    b, t, heads, d_head = 2, 256, 4, 96
+    c = heads * d_head
+    q = rng.standard_normal((b, t, c)).astype(np.float32)
+    k = rng.standard_normal((b, t, c)).astype(np.float32)
+    v = rng.standard_normal((b, t, c)).astype(np.float32)
+    kv_len = jnp.asarray([256, 199], jnp.int32)
+
+    got = fa.global_flash_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), kv_len,
+        n_heads=heads, sm_scale=1.0 / np.sqrt(d_head), interpret=True)
+    want = _global_ref(q, k, v, [256, 199], heads)
+    got = np.asarray(got, np.float32)
+    assert np.isfinite(got).all()
+    for i, L in enumerate([256, 199]):
+        err = np.abs(got[i, :L] - want[i, :L]).max()
+        scale = np.abs(want[i, :L]).max()
+        assert err / scale < 3e-2, err / scale
+
+
+def test_global_supported_gate():
+    assert fa.global_supported(2048, 96, jnp.bfloat16)
+    assert fa.global_supported(1536, 96, jnp.bfloat16)  # 32*48 serving cap
+    assert fa.global_supported(3072, 64, jnp.float32)
+    assert not fa.global_supported(200, 96, jnp.bfloat16)   # not 128-multiple
+    assert not fa.global_supported(128, 96, jnp.bfloat16)   # below min length
+    assert not fa.global_supported(2048, 192, jnp.bfloat16)  # head too wide
+    assert not fa.global_supported(16384, 96, jnp.bfloat16)  # beyond cap

@@ -267,3 +267,35 @@ def test_split_serving_bit_exact(rng):
         np.testing.assert_array_equal(np.asarray(fused["mel"]), np.asarray(split["mel"]))
         np.testing.assert_array_equal(np.asarray(fused["mel_lengths"]),
                                       np.asarray(split["mel_lengths"]))
+
+
+def test_dit_mha_flash_route_matches_einsum(rng):
+    """The TPU flash route (padded-weight fused qkv + packed-layout kernel +
+    fused rope pass) is the einsum path up to kernel rounding — checked in
+    interpreter mode on CPU at both serving lengths' head dim (96)."""
+    heads, dk, t, b = 4, 96, 256, 2
+    c = heads * dk
+    params = S.dit_mha_init(jax.random.PRNGKey(0), c, heads)
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    lengths = [t, t - 57]
+    m = (np.arange(t)[None, :] < np.asarray(lengths)[:, None]).astype(np.float32)
+    bias = np.where((m[:, None, :, None] * m[:, None, None, :]) == 0, -1e9, 0.0).astype(np.float32)
+    bias = np.transpose(bias, (0, 1, 3, 2))  # (B,1,T,T) additive
+
+    want = S.dit_mha_apply(params, jnp.asarray(x), jnp.asarray(bias),
+                           n_heads=heads, seq_mask=None)
+    got = S._dit_mha_flash(params, jnp.asarray(x), jnp.asarray(m),
+                           n_heads=heads, interpret=True)
+    w = np.asarray(want)
+    g = np.asarray(got)
+    for i, L in enumerate(lengths):
+        np.testing.assert_allclose(g[i, :L], w[i, :L], rtol=2e-4, atol=2e-4)
+
+    # bf16 serving rounding stays bounded
+    p16 = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16), params)
+    got16 = S._dit_mha_flash(p16, jnp.asarray(x, jnp.bfloat16),
+                             jnp.asarray(m), n_heads=heads, interpret=True)
+    g16 = np.asarray(got16, np.float32)
+    for i, L in enumerate(lengths):
+        err = np.abs(g16[i, :L] - w[i, :L]).max() / (np.abs(w[i, :L]).max() + 1e-8)
+        assert err < 5e-2, err

@@ -113,10 +113,12 @@ def _embed_inputs(params, cfg, x_ids, bert, y_ids):
     if bert is not None:
         x = x + bert @ params["bert_proj"]["w"] + params["bert_proj"]["b"]
     t_x = x_ids.shape[1]
-    x = x + params["text_alpha"] * jnp.asarray(_sine_pe(t_x, cfg.embedding_dim))
+    # cast the f32 sine tables to the embedding dtype: in bf16 serving an
+    # f32 promotion here silently upcasts the whole transformer
+    x = x + params["text_alpha"] * jnp.asarray(_sine_pe(t_x, cfg.embedding_dim)).astype(x.dtype)
     y = params["audio_emb"][y_ids]
     t_y = y_ids.shape[1]
-    y = y + params["audio_alpha"] * jnp.asarray(_sine_pe(t_y, cfg.embedding_dim))
+    y = y + params["audio_alpha"] * jnp.asarray(_sine_pe(t_y, cfg.embedding_dim)).astype(y.dtype)
     return x, y
 
 
@@ -272,27 +274,62 @@ def sample_logits(rng, logits, prev_mask, *, top_k=15, top_p=1.0,
 # ---------------------------------------------------------------------------
 
 
-def _layer_step(layer, cfg, x, cache_k, cache_v, layer_idx, pos, key_mask):
-    """One-token step. x: (B, 1, D); cache_[kv]: (L, B, maxT, H, Dk);
-    key_mask: (B, maxT) valid keys (incl. current)."""
-    b = x.shape[0]
+def _stack_layers(params):
+    """Stack the per-layer weight pytrees into (L, ...) arrays so the decode
+    step runs as ONE lax.scan over layers instead of a 24-layer python loop
+    — the B=1 decode was dispatch-dominated (~500 tiny fused ops per token,
+    3.5x its weight-streaming floor, SPEED_OF_LIGHT §7); the scan executes
+    ~20 fusions per layer iteration from one compact program."""
+    L = params["layers"]
+    return {
+        "qkv_w": jnp.stack([l["qkv"]["w"] for l in L]),
+        "qkv_b": jnp.stack([l["qkv"]["b"] for l in L]),
+        "out_w": jnp.stack([l["out"]["w"] for l in L]),
+        "out_b": jnp.stack([l["out"]["b"] for l in L]),
+        "ln1_g": jnp.stack([l["ln1"]["gamma"] for l in L]),
+        "ln1_b": jnp.stack([l["ln1"]["beta"] for l in L]),
+        "ff1_w": jnp.stack([l["ff1"]["w"] for l in L]),
+        "ff1_b": jnp.stack([l["ff1"]["b"] for l in L]),
+        "ff2_w": jnp.stack([l["ff2"]["w"] for l in L]),
+        "ff2_b": jnp.stack([l["ff2"]["b"] for l in L]),
+        "ln2_g": jnp.stack([l["ln2"]["gamma"] for l in L]),
+        "ln2_b": jnp.stack([l["ln2"]["beta"] for l in L]),
+    }
+
+
+def _decode_token(stacked, cfg, emb, cache_k, cache_v, pos, key_mask):
+    """One token through ALL layers as a lax.scan.
+
+    emb: (B, 1, D); cache_[kv]: (L, B, H, maxT, Dk) PRE-TRANSPOSED to the
+    attention layout (no per-token head transposes); pos: scalar cache slot;
+    key_mask: (B, maxT) valid keys incl. the current token. The per-layer
+    k/v rows come back as scan ys and land in the carried cache with ONE
+    dynamic_update_slice each (instead of 2 per layer)."""
+    b = emb.shape[0]
     h, dk = cfg.num_head, cfg.hidden_dim // cfg.num_head
-    qkv = x @ layer["qkv"]["w"] + layer["qkv"]["b"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    k = k.reshape(b, 1, h, dk)
-    v = v.reshape(b, 1, h, dk)
-    cache_k = lax.dynamic_update_slice(cache_k, k[None], (layer_idx, 0, pos, 0, 0))
-    cache_v = lax.dynamic_update_slice(cache_v, v[None], (layer_idx, 0, pos, 0, 0))
-    q = q.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)  # (B, H, 1, Dk)
-    keys = cache_k[layer_idx].transpose(0, 2, 1, 3)  # (B, H, maxT, Dk)
-    vals = cache_v[layer_idx].transpose(0, 2, 1, 3)
-    scores = jnp.einsum("bhtd,bhsd->bhts", q, keys) / math.sqrt(dk)
-    scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
-    attn = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhts,bhsd->bhtd", attn, vals).transpose(0, 2, 1, 3).reshape(b, 1, cfg.hidden_dim)
-    x = _ln(x + ctx @ layer["out"]["w"] + layer["out"]["b"], layer["ln1"])
-    f = jax.nn.relu(x @ layer["ff1"]["w"] + layer["ff1"]["b"])
-    x = _ln(x + f @ layer["ff2"]["w"] + layer["ff2"]["b"], layer["ln2"])
+    d = cfg.hidden_dim
+
+    def layer_fn(x, inp):
+        w, ck_l, cv_l = inp  # ck_l/cv_l: (B, H, maxT, Dk)
+        qkv = x @ w["qkv_w"] + w["qkv_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)  # (B, H, 1, Dk)
+        k_new = k.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)
+        v_new = v.reshape(b, 1, h, dk).transpose(0, 2, 1, 3)
+        ck_l = lax.dynamic_update_slice(ck_l, k_new, (0, 0, pos, 0))
+        cv_l = lax.dynamic_update_slice(cv_l, v_new, (0, 0, pos, 0))
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, ck_l) / math.sqrt(dk)
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhts,bhsd->bhtd", attn, cv_l).transpose(0, 2, 1, 3).reshape(b, 1, d)
+        x = _ln(x + ctx @ w["out_w"] + w["out_b"], {"gamma": w["ln1_g"], "beta": w["ln1_b"]})
+        f = jax.nn.relu(x @ w["ff1_w"] + w["ff1_b"])
+        x = _ln(x + f @ w["ff2_w"] + w["ff2_b"], {"gamma": w["ln2_g"], "beta": w["ln2_b"]})
+        return x, (k_new, v_new)
+
+    x, (ks, vs) = lax.scan(layer_fn, emb, (stacked, cache_k, cache_v))
+    cache_k = lax.dynamic_update_slice(cache_k, ks, (0, 0, 0, pos, 0))
+    cache_v = lax.dynamic_update_slice(cache_v, vs, (0, 0, 0, pos, 0))
     return x, cache_k, cache_v
 
 
@@ -332,17 +369,20 @@ def ar_infer(
     x, y = _embed_inputs(params, cfg, x_ids, bert, prompts)
     xy = jnp.concatenate([x, y], axis=1)  # (1, Tx+Tp, D)
     t0 = t_x + t_p
+    cdt = params["predict"]["w"].dtype  # cache in serving precision
 
     # ---- prefill: full pass, stash K/V into the static cache ----
-    cache_k = jnp.zeros((n_layers, 1, max_t, h, dk))
-    cache_v = jnp.zeros((n_layers, 1, max_t, h, dk))
+    cache_k = jnp.zeros((n_layers, 1, h, max_t, dk), cdt)
+    cache_v = jnp.zeros((n_layers, 1, h, max_t, dk), cdt)
     bias = joint_mask(cfg, t_x, t_p, jnp.asarray([x_len]))
     cur = xy
     for li, layer in enumerate(params["layers"]):
         qkv = cur @ layer["qkv"]["w"] + layer["qkv"]["b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        cache_k = cache_k.at[li, :, :t0].set(k.reshape(1, t0, h, dk))
-        cache_v = cache_v.at[li, :, :t0].set(v.reshape(1, t0, h, dk))
+        cache_k = cache_k.at[li, :, :, :t0].set(
+            k.reshape(1, t0, h, dk).transpose(0, 2, 1, 3).astype(cdt))
+        cache_v = cache_v.at[li, :, :, :t0].set(
+            v.reshape(1, t0, h, dk).transpose(0, 2, 1, 3).astype(cdt))
         cur = _layer_full(layer, cfg, cur, bias)
     logits0 = cur[:, -1] @ params["predict"]["w"]  # (1, V)
     logits0 = logits0.at[:, cfg.eos].set(-jnp.inf)  # first step can't EOS (:399)
@@ -358,19 +398,21 @@ def ar_infer(
         i, stop, *_ = state
         return (i < max_new) & ~stop
 
+    stacked = _stack_layers(params)
+    pe_full = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
+
     def body(state):
         i, stop, tokens, cache_k, cache_v, prev_mask, rng = state
         last = tokens[i - 1]  # the (i-1)-th generated token
         pos = t0 + i - 1  # its cache slot (prefill filled 0..t0-1)
         y_idx = t_p + i - 1  # its audio positional index
         emb = params["audio_emb"][last][None, None, :]
-        pe = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
-        emb = emb + params["audio_alpha"] * lax.dynamic_slice(pe, (y_idx, 0), (1, cfg.embedding_dim))[None]
+        emb = emb + params["audio_alpha"] * lax.dynamic_slice(
+            pe_full, (y_idx, 0), (1, cfg.embedding_dim)).astype(emb.dtype)[None]
         idx = jnp.arange(max_t)
         key_mask = ((idx <= pos) & ((idx < x_len) | (idx >= t_x)))[None, :]
-        cur = emb
-        for li, layer in enumerate(params["layers"]):
-            cur, cache_k, cache_v = _layer_step(layer, cfg, cur, cache_k, cache_v, li, pos, key_mask)
+        cur, cache_k, cache_v = _decode_token(stacked, cfg, emb, cache_k, cache_v,
+                                              pos, key_mask)
         logits = (cur[:, -1] @ params["predict"]["w"])[0]
         prev_mask = prev_mask.at[last].set(True)
         rng, r = jax.random.split(rng)
@@ -420,15 +462,18 @@ def ar_infer_batch(
     xy = jnp.concatenate([x, y], axis=1)  # (B, Tx+Tp, D)
     t0 = t_x + t_p
 
-    cache_k = jnp.zeros((n_layers, b, max_t, h, dk))
-    cache_v = jnp.zeros((n_layers, b, max_t, h, dk))
+    cdt = params["predict"]["w"].dtype
+    cache_k = jnp.zeros((n_layers, b, h, max_t, dk), cdt)
+    cache_v = jnp.zeros((n_layers, b, h, max_t, dk), cdt)
     bias = joint_mask(cfg, t_x, t_p, x_lens)
     cur = xy
     for li, layer in enumerate(params["layers"]):
         qkv = cur @ layer["qkv"]["w"] + layer["qkv"]["b"]
         _, k, v = jnp.split(qkv, 3, axis=-1)
-        cache_k = cache_k.at[li, :, :t0].set(k.reshape(b, t0, h, dk))
-        cache_v = cache_v.at[li, :, :t0].set(v.reshape(b, t0, h, dk))
+        cache_k = cache_k.at[li, :, :, :t0].set(
+            k.reshape(b, t0, h, dk).transpose(0, 2, 1, 3).astype(cdt))
+        cache_v = cache_v.at[li, :, :, :t0].set(
+            v.reshape(b, t0, h, dk).transpose(0, 2, 1, 3).astype(cdt))
         cur = _layer_full(layer, cfg, cur, bias)
     logits0 = cur[:, -1] @ params["predict"]["w"]  # (B, V)
     logits0 = logits0.at[:, cfg.eos].set(-jnp.inf)
@@ -450,21 +495,21 @@ def ar_infer_batch(
         i, done, *_ = state
         return (i < max_new) & ~jnp.all(done)
 
+    stacked = _stack_layers(params)
+    pe_full = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
+
     def body(state):
         i, done, tokens, cache_k, cache_v, prev_mask, rng = state
         last = tokens[:, i - 1]  # (B,)
         pos = t0 + i - 1
         y_idx = t_p + i - 1
         emb = params["audio_emb"][last][:, None, :]
-        pe = jnp.asarray(_sine_pe(max_t, cfg.embedding_dim))
         emb = emb + params["audio_alpha"] * lax.dynamic_slice(
-            pe, (y_idx, 0), (1, cfg.embedding_dim))[None]
+            pe_full, (y_idx, 0), (1, cfg.embedding_dim)).astype(emb.dtype)[None]
         key_mask = (idx_t[None, :] <= pos) & (
             (idx_t[None, :] < x_lens[:, None]) | (idx_t[None, :] >= t_x))
-        cur = emb
-        for li, layer in enumerate(params["layers"]):
-            cur, cache_k, cache_v = _layer_step(layer, cfg, cur, cache_k, cache_v,
-                                                li, pos, key_mask)
+        cur, cache_k, cache_v = _decode_token(stacked, cfg, emb, cache_k, cache_v,
+                                              pos, key_mask)
         logits = cur[:, -1] @ params["predict"]["w"]  # (B, V)
         prev_mask = prev_mask.at[jnp.arange(b), last].set(True)
         rng, r = jax.random.split(rng)

@@ -72,14 +72,22 @@ class StableTTSConfig:
 # ---------------------------------------------------------------------------
 
 
-def rope(x: jax.Array, d: int) -> jax.Array:
-    """x: (B, H, T, Dk); rotate the first ``d`` features (d even)."""
-    t = x.shape[2]
+def rope(x: jax.Array, d: int, *, time_axis: int = 2) -> jax.Array:
+    """Rotate the first ``d`` features (d even) of the last axis.
+
+    x: (B, H, T, Dk) with time_axis=2 (einsum path), or (B, T, H, Dk) with
+    time_axis=1 (native channels-last path feeding the Pallas kernel — the
+    (B,T,H*D)<->(B,T,H,D) reshapes are free, unlike the head transpose)."""
+    t = x.shape[time_axis]
     x_rope, x_pass = x[..., :d], x[..., d:]
     theta = 1.0 / (10000.0 ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))  # (d/2,)
     idx = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]  # (T, d/2)
     idx2 = jnp.concatenate([idx, idx], axis=-1)  # (T, d)
-    cos, sin = jnp.cos(idx2).astype(x.dtype), jnp.sin(idx2).astype(x.dtype)
+    shape = [1] * x.ndim
+    shape[time_axis] = t
+    shape[-1] = d
+    cos = jnp.cos(idx2).astype(x.dtype).reshape(shape)
+    sin = jnp.sin(idx2).astype(x.dtype).reshape(shape)
     d2 = d // 2
     neg_half = jnp.concatenate([-x_rope[..., d2:], x_rope[..., :d2]], axis=-1)
     x_rope = x_rope * cos + neg_half * sin
@@ -99,72 +107,109 @@ def _xavier_conv1x1(key, c_in, c_out):
             "b": jax.random.uniform(bk, (c_out,), jnp.float32, -s, s)}
 
 
-def _flash_blocks(t: int):
-    """Largest admissible (block_q, block_k_major, block_k) for the stock
-    Pallas flash kernel at sequence length ``t`` (t % 128 == 0). The kernel
-    asserts every block divides t — the serving frame caps 1536 (= 32*48)
-    and 3072 (= 64*48) are NOT multiples of 1024/2048, so a fixed
-    min(1024, t) crashes there (round-4 advisor finding)."""
-    bq = bk = next(b for b in (1024, 512, 256, 128) if t % b == 0)
-    bkm = next(b for b in (2048, 1024, 512, 256, 128) if t % b == 0)
-    return bq, bkm, bk
-
-
 def dit_mha_init(key, channels, n_heads):
     kq, kk, kv, ko = jax.random.split(key, 4)
     return {"q": _xavier_conv1x1(kq, channels, channels), "k": _xavier_conv1x1(kk, channels, channels),
             "v": _xavier_conv1x1(kv, channels, channels), "o": _xavier_conv1x1(ko, channels, channels)}
 
 
+def _dit_mha_flash(params, x, seq_mask, *, n_heads, interpret: bool = False):
+    """The TPU flash route of :func:`dit_mha_apply`, exactly equivalent to
+    its einsum path (up to flash-kernel rounding).
+
+    Mosaic blocks want 128-lane heads; instead of padding activations (an
+    extra HBM pass per tensor), the pad lives in the WEIGHTS: zero columns
+    take each head from dk to 128 inside ONE fused qkv projection, zero rows
+    absorb the padding in the output projection, and the kernel reads q/k/v
+    straight out of the packed projection output via BlockSpec index maps —
+    no pad/transpose/slice passes (slice copies alone cost 1.2 ms/layer at
+    the CFM serving shape, tools/exp_dit_mha.py). RoPE is ONE fused
+    elementwise pass over the packed tensor (v heads pass through)."""
+    from ..ops import flash_attention as fa
+
+    b, t, c = x.shape
+    dk = c // n_heads
+    d_rope = (dk // 2) // 2 * 2
+    dp = 128
+    cp = n_heads * dp
+
+    def padded_cols(p):  # (1, C, H*dk) -> (1, C, H*dp)
+        w4 = p["w"].reshape(1, c, n_heads, dk)
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, dp - dk)))
+        b4 = jnp.pad(p["b"].reshape(n_heads, dk), ((0, 0), (0, dp - dk)))
+        return w4.reshape(1, c, cp), b4.reshape(cp)
+
+    wq, bq = padded_cols(params["q"])
+    wk, bk_ = padded_cols(params["k"])
+    wv, bv = padded_cols(params["v"])
+    qkv = conv1d(x, jnp.concatenate([wq, wk, wv], axis=-1),
+                 jnp.concatenate([bq, bk_, bv]))  # (B, T, 3*cp)
+
+    h3 = 3 * n_heads
+    qkv4 = qkv.reshape(b, t, h3, dp)
+    d2 = d_rope // 2
+    rot = jnp.concatenate([-qkv4[..., d2:d_rope], qkv4[..., :d2]], axis=-1)
+    rot = jnp.pad(rot, ((0, 0), (0, 0), (0, 0), (0, dp - d_rope)))
+    theta = 1.0 / (10000.0 ** (jnp.arange(0, d_rope, 2, dtype=jnp.float32) / d_rope))
+    ang = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]
+    ang2 = jnp.concatenate([ang, ang], axis=-1)  # (T, d_rope)
+    ones = jnp.ones((t, dp - d_rope), jnp.float32)
+    cosf = jnp.concatenate([jnp.cos(ang2), ones], axis=-1).astype(x.dtype)
+    sinf = jnp.concatenate([jnp.sin(ang2), 0 * ones], axis=-1).astype(x.dtype)
+    is_qk = (jnp.arange(h3) < 2 * n_heads).astype(x.dtype)[None, None, :, None]
+    cos_eff = 1.0 + is_qk * (cosf[None, :, None, :] - 1.0)
+    sin_eff = is_qk * sinf[None, :, None, :]
+    qkv = (qkv4 * cos_eff + rot * sin_eff).reshape(b, t, 3 * cp)
+
+    kv_len = jnp.sum(seq_mask.astype(jnp.int32), axis=1)
+    out = fa.global_flash_attention_packed(qkv, kv_len, n_heads=n_heads,
+                                           sm_scale=1.0 / math.sqrt(dk),
+                                           interpret=interpret)
+    wo4 = params["o"]["w"].reshape(1, n_heads, dk, c)
+    wo4 = jnp.pad(wo4, ((0, 0), (0, 0), (0, dp - dk), (0, 0)))
+    return conv1d(out, wo4.reshape(1, cp, c), params["o"]["b"])
+
+
 def dit_mha_apply(params, x, attn_bias, *, n_heads, seq_mask=None):
     """x: (B, T, C); attn_bias additive (B, 1, T, T).
 
     On TPU at frame-length T (multiple of 128, >= 256) the global softmax
-    routes through the stock Pallas flash kernel with segment-id padding
-    masks — the einsum path materializes (B, H, T, T) scores (~1 GB/layer
-    at the CFM serving shape, measured 48 ms/ODE-step round 4). seq_mask:
-    (B, T) 1=valid, required for the flash route."""
+    routes through the NATIVE-LAYOUT Pallas kernel
+    (ops/flash_attention.global_flash_attention): q/k/v stay (B, T, C)
+    exactly as the projections produce them, each head a lane-block slice.
+    Round-4's stock-kernel route padded D 96->128 and transposed heads —
+    that calling convention measured 1.5 ms/layer of pure plumbing around a
+    2.0 ms kernel, and in-graph the whole mha cost 5.4 ms/layer
+    (tools/profile_dit_block.py); the einsum path is worse still: (B,H,T,T)
+    scores are ~1 GB/layer at the CFM serving shape. seq_mask: (B, T)
+    1=valid prefix, required for the flash route.
+
+    bf16 only (serving precision): the kernel's online softmax accumulates
+    probabilities in the input dtype (the VPU exp cost lesson from the
+    banded kernel v4) — below serving tolerance, above the f32 golden-test
+    tolerance, so fp32 keeps the exact einsum path."""
     b, t, c = x.shape
     dk = c // n_heads
+    d_rope = (dk // 2) // 2 * 2  # int(dk*0.5), even by construction
+
+    from ..ops import flash_attention as fa
+
+    use_flash = (seq_mask is not None and x.dtype == jnp.bfloat16
+                 and jax.default_backend() == "tpu"
+                 and fa.global_supported(t, dk, x.dtype))
+    if use_flash:
+        return _dit_mha_flash(params, x, seq_mask, n_heads=n_heads)
+
     q = conv1d(x, params["q"]["w"], params["q"]["b"]).reshape(b, t, n_heads, dk).transpose(0, 2, 1, 3)
     k = conv1d(x, params["k"]["w"], params["k"]["b"]).reshape(b, t, n_heads, dk).transpose(0, 2, 1, 3)
     v = conv1d(x, params["v"]["w"], params["v"]["b"]).reshape(b, t, n_heads, dk).transpose(0, 2, 1, 3)
-    d_rope = (dk // 2) // 2 * 2  # int(dk*0.5), even by construction
     q = rope(q, d_rope)
     k = rope(k, d_rope)
-
-    # bf16 only: the stock kernel computes with bf16 MXU operands (~3e-3
-    # rel vs exact f32 math — measured vs its own mha_reference), which is
-    # below serving precision but above the f32 golden-test tolerance
-    use_flash = (seq_mask is not None and t % 128 == 0 and t >= 256
-                 and x.dtype == jnp.bfloat16
-                 and jax.default_backend() == "tpu")
-    if use_flash:
-        from jax.experimental.pallas.ops.tpu import flash_attention as sfa
-
-        dp = -(-dk // 128) * 128
-        pad = ((0, 0), (0, 0), (0, 0), (0, dp - dk))
-        seg = seq_mask.astype(jnp.int32)
-        # defaults shard into thousands of tiny programs (15.5 ms at the
-        # CFM shape); big blocks hit 1.69 ms (block sweep, round 4);
-        # blocks must divide t (see _flash_blocks)
-        bq, bkm, bk = _flash_blocks(t)
-        bs = sfa.BlockSizes(block_q=bq, block_k_major=bkm, block_k=bk,
-                            block_b=1, block_q_major_dkv=bq,
-                            block_k_major_dkv=bkm, block_k_dkv=bk,
-                            block_q_dkv=bq, block_k_major_dq=bkm,
-                            block_k_dq=bk, block_q_dq=bq)
-        out = sfa.flash_attention(
-            jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad),
-            segment_ids=sfa.SegmentIds(q=seg, kv=seg),
-            sm_scale=1.0 / math.sqrt(dk), block_sizes=bs,
-        )[..., :dk]
-    else:
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dk)
-        if attn_bias is not None:
-            scores = scores + attn_bias
-        p = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhts,bhsd->bhtd", p, v)
+    scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / math.sqrt(dk)
+    if attn_bias is not None:
+        scores = scores + attn_bias
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bhsd->bhtd", p, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
     return conv1d(out, params["o"]["w"], params["o"]["b"])
 

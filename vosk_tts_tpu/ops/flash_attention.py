@@ -173,6 +173,183 @@ def supported(t_q: int, t_kv: int, window: int, dtype) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Global flash attention in NATIVE channels-last layout (the DiT / CFM
+# estimator attention: plain softmax over valid keys, no rel-pos band).
+#
+# The stock Pallas kernel wants (B, H, T, D) with D a multiple of 128; at the
+# estimator's D=96 that calling convention costs more than the kernel: pad
+# 96->128 (+33% HBM), two transposes, and segment-id plumbing measured 1.5 ms
+# per layer against a 2.0 ms kernel (tools/profile_dit_block.py, B32 T2048).
+# This kernel reads q/k/v exactly as the qkv projections produce them —
+# (B, T, H*D) — and treats each head as a lane-block slice, so the only HBM
+# traffic is the tensors themselves.
+# ---------------------------------------------------------------------------
+
+
+def _global_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *,
+                   block_k: int, sm_scale: float, mask_value: float):
+    """q_ref: (1, BQ, D); k_ref/v_ref: (1, T, D); grid (B, H, T//BQ)."""
+    b = pl.program_id(0)
+    kv_len = len_ref[b]
+
+    block_q = q_ref.shape[1]
+    t = k_ref.shape[1]
+    d = q_ref.shape[2]
+    nk = t // block_k
+
+    q = q_ref[0]  # (BQ, D) native dtype
+    sdt = q.dtype
+    m_i = jnp.full((block_q, 1), _NEG_INIT, sdt)
+    l_i = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, d), jnp.float32)
+    mask_val = jnp.asarray(mask_value, sdt)
+    scale = jnp.asarray(sm_scale, sdt)
+
+    for jb in range(nk):
+        k_blk = k_ref[0, jb * block_k : (jb + 1) * block_k, :]
+        v_blk = v_ref[0, jb * block_k : (jb + 1) * block_k, :]
+        s = jax.lax.dot_general(q, k_blk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(sdt)
+        s = s * scale
+        j_glob = jb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        # finite mask value: fully-masked rows (padded queries) softmax to a
+        # uniform over masked keys instead of 0/0 NaN; callers zero them
+        s = jnp.where(j_glob < kv_len, s, mask_val)
+
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new)  # input-dtype tile (v4 lesson: VPU exp cost)
+        l_i = l_i * alpha.astype(jnp.float32) + jnp.sum(
+            p, axis=1, keepdims=True, dtype=jnp.float32)
+        acc = acc * alpha.astype(jnp.float32) + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_i = m_new
+
+    o_ref[0] = (acc / l_i).astype(o_ref.dtype)
+
+
+def global_supported(t: int, d_head: int, dtype) -> bool:
+    """Shapes the global kernel handles (t must split into >=128 q blocks)."""
+    return (
+        t % 128 == 0
+        and t >= 256
+        and t <= 8192
+        and d_head <= 128
+        and dtype in (jnp.float32, jnp.bfloat16)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "sm_scale", "mask_value",
+                                             "interpret", "block_q"))
+def global_flash_attention(q, k, v, kv_len, *, n_heads: int, sm_scale: float,
+                           mask_value: float = -30000.0,
+                           interpret: bool = False,
+                           block_q: int | None = None):
+    """q, k, v: (B, T, C) channels-last with C = n_heads * d_head, NOT
+    pre-scaled; kv_len: (B,) int32 valid prefix (shared by queries and keys).
+
+    Returns (B, T, C). Rows at positions >= kv_len hold a uniform average of
+    masked values (finite, NOT NaN) — callers mask them out as the DiT block
+    already does.
+    """
+    b, t, c = q.shape
+    d = c // n_heads
+
+    if block_q is None:
+        # whole (T, D) K/V windows live in VMEM per program; score tiles are
+        # (BQ, BK) in the input dtype. At D=96/T=2048 even 1024 fits easily.
+        esize = jnp.dtype(q.dtype).itemsize
+        budget = 16 * 1024 * 1024
+
+        def vmem_est(bq):
+            kv = 2 * t * d * esize
+            tiles = 3 * bq * bq * esize
+            q_acc = 2 * bq * d * 4 + bq * d * esize
+            return kv + tiles + q_acc
+
+        fits = [bq for bq in (1024, 512, 256, 128)
+                if t % bq == 0 and vmem_est(bq) <= budget]
+        block_q = max(fits) if fits else 128
+    block_k = block_q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_heads, t // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bb, h, qb, lens: (bb, qb, h)),
+            pl.BlockSpec((1, t, d), lambda bb, h, qb, lens: (bb, 0, h)),
+            pl.BlockSpec((1, t, d), lambda bb, h, qb, lens: (bb, 0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bb, h, qb, lens: (bb, qb, h)),
+    )
+
+    kernel = functools.partial(_global_kernel, block_k=block_k,
+                               sm_scale=sm_scale, mask_value=mask_value)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), q, k, v)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "sm_scale", "mask_value",
+                                             "interpret", "block_q"))
+def global_flash_attention_packed(qkv, kv_len, *, n_heads: int, sm_scale: float,
+                                  mask_value: float = -30000.0,
+                                  interpret: bool = False,
+                                  block_q: int | None = None):
+    """Packed variant: ``qkv`` is (B, T, 3*n_heads*d) laid out
+    [q heads | k heads | v heads] with d a multiple of 128 — exactly what a
+    fused qkv projection produces. The q/k/v head slicing happens in the
+    BlockSpec index maps (the same buffer is passed three times), so NO
+    slice copies materialize: measured 3.26 ms -> 2.03 ms per CFM layer vs
+    slicing the projection output into separate kernel operands
+    (tools/exp_dit_mha.py — XLA copies each slice to a contiguous operand).
+
+    Returns (B, T, n_heads*d)."""
+    b, t, c3 = qkv.shape
+    d = c3 // (3 * n_heads)
+    if d % 128 != 0:
+        raise ValueError(f"packed layout needs 128-multiple head dim, got {d}")
+
+    if block_q is None:
+        esize = jnp.dtype(qkv.dtype).itemsize
+        budget = 16 * 1024 * 1024
+
+        def vmem_est(bq):
+            return 2 * t * d * esize + 3 * bq * bq * esize + 2 * bq * d * 4 + bq * d * esize
+
+        fits = [bq for bq in (1024, 512, 256, 128)
+                if t % bq == 0 and vmem_est(bq) <= budget]
+        block_q = max(fits) if fits else 128
+    block_k = block_q
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_heads, t // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bb, h, qb, lens: (bb, qb, h)),
+            pl.BlockSpec((1, t, d), lambda bb, h, qb, lens: (bb, 0, n_heads + h)),
+            pl.BlockSpec((1, t, d), lambda bb, h, qb, lens: (bb, 0, 2 * n_heads + h)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bb, h, qb, lens: (bb, qb, h)),
+    )
+
+    kernel = functools.partial(_global_kernel, block_k=block_k,
+                               sm_scale=sm_scale, mask_value=mask_value)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, n_heads * d), qkv.dtype),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), qkv, qkv, qkv)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("window", "mask_value", "interpret", "block_q"))
 def banded_flash_attention(q, k, v, rel_k, rel_v, kv_len, *, window: int,
                            mask_value: float = _MASK_VALUE,
