@@ -112,8 +112,10 @@ _LONG = {"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "UW", "y": "AY"}
 # longest-match grapheme rules; "V" entries are vowel bases (stress added
 # later). Order within a length class matters only where patterns overlap.
 _CLUSTERS = [
+    ("tsch", ["CH"]),  # German -tsch (petsch, kutsch — CMU reads CH)
+    ("eaux", ["OW"]), ("eau", ["OW"]),  # French (jarreau, thibodeaux)
     ("eigh", ["EY"]), ("augh", ["AO"]), ("ough", ["AO"]),
-    ("tch", ["CH"]), ("dge", ["JH"]), ("igh", ["AY"]), ("sch", ["S", "K"]),
+    ("tch", ["CH"]), ("dge", ["JH"]), ("igh", ["AY"]),
     ("ch", ["CH"]), ("sh", ["SH"]), ("th", ["TH"]), ("ph", ["F"]),
     ("ck", ["K"]), ("ng", ["NG"]), ("qu", ["K", "W"]), ("wh", ["W"]),
     ("ee", ["IY"]), ("ea", ["IY"]), ("ai", ["EY"]), ("ay", ["EY"]),
@@ -294,10 +296,36 @@ def _core_scan(word: str, *, word_final: bool = True) -> list:
         if word_final and word.startswith("mb", i) and i + 2 == n:
             out.append("M")
             break
+        # "sch" reads SH: CMU is names-heavy and German/Slavic names dominate
+        # its sch- words (schnelle, schaab, schook); the S-K words (school,
+        # scheme, schedule...) are dictionary-served (round-5 error analysis:
+        # -sch was a worst class at S K)
+        if word.startswith("sch", i):
+            out.append("SH")
+            i += 3
+            continue
         # Greek/technical "ch" before a consonant reads K (chrome, techn-)
         if word.startswith("ch", i) and i + 2 < n and not _is_vowel(word[i + 2]):
             out.append("K")
             i += 2
+            continue
+        # silent "gh" after a vowel at word end (haigh, pugh)
+        if (word_final and word.startswith("gh", i) and i + 2 == n
+                and emitted_vowel):
+            break
+        # final "-oux" reads UW (French names: richoux, thureaux-style)
+        if word_final and word.startswith("oux", i) and i + 3 == n:
+            out.append("UW")
+            break
+        # final "-oh" reads OW (itoh, yohe-type names); and a silent "h"
+        # between a vowel and "r"/word-end (duhr, fahr)
+        if word.startswith("oh", i) and i + 2 >= n:
+            out.append("OW")
+            i += 2
+            continue
+        if (ch == "h" and emitted_vowel
+                and (i + 1 == n or word[i + 1] == "r")):
+            i += 1
             continue
         # velar assimilation: n before k
         if ch == "n" and i + 1 < n and word[i + 1] == "k":
@@ -438,8 +466,11 @@ def _strip_suffix(word: str):
     for suf, phs, min_stem in _SUFFIXES:
         if word.endswith(suf) and len(word) - len(suf) >= min_stem:
             stem = word[: -len(suf)]
-            if suf == "le" and _is_vowel(stem[-1]):
-                continue  # vowel+le is magic-e (trousdale), not -ble/-dle
+            if suf == "le" and (_is_vowel(stem[-1]) or stem[-1] == "l"):
+                # vowel+le is magic-e (trousdale), not -ble/-dle; l+le is
+                # -lle = plain L + silent e (schnelle) — the core scan's
+                # doubled-consonant collapse reads it right
+                continue
             if suf[0] in "aeiouy" and len(stem) >= 2:
                 if stem[-1] == stem[-2] and not _is_vowel(stem[-1]):
                     stem = stem[:-1]  # doubled consonant: short vowel stays
