@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--frames", type=int, default=400)  # spec frames
     ap.add_argument("--text", type=int, default=128)
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="compute dtype (bfloat16 = the reference's AMP analogue)")
+    ap.add_argument("--decompose", action="store_true",
+                    help="also measure per-stage fwd/VJP pieces (VERDICT r4 weak-6)")
     args = ap.parse_args()
 
     signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
@@ -63,8 +67,9 @@ def main():
     B, TX, TF = args.batch, args.text, args.frames
     hop = tcfg.hop_length
 
+    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else None
     state = T.init_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
-    step = T.make_train_step(mcfg, tcfg)
+    step = T.make_train_step(mcfg, tcfg, compute_dtype=cdt)
 
     rng = np.random.default_rng(0)
     batch = {
@@ -103,13 +108,94 @@ def main():
     per = (t2 - t1) / (n2 - n1)
     samples = B * TF * hop
     print(f"GAN train step (B={B}, spec {TF}f, seg {mcfg.segment_size * hop} "
-          f"samples): {per*1e3:.1f} ms", flush=True)
-    print(json.dumps({
+          f"samples, {args.dtype}): {per*1e3:.1f} ms", flush=True)
+
+    # XLA's own FLOP count for the whole step -> model FLOP utilization
+    try:
+        ca = jstep.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    mfu = flops / per / 186e12 if flops else 0.0
+
+    out = {
         "train_step_ms": round(per * 1e3, 2),
         "samples_per_s": round(samples / per, 0),
         "audio_s_per_s_train": round(samples / 22050 / per, 1),
-        "config": f"mb-istft-vits2 B={B} TX={TX} TF={TF} fp32",
-    }))
+        "step_tflop": round(flops / 1e12, 3),
+        "mfu_vs_bf16_anchor": round(mfu, 3),
+        "config": f"mb-istft-vits2 B={B} TX={TX} TF={TF} {args.dtype}",
+    }
+
+    if args.decompose:
+        # per-stage fwd / fwd+VJP device times (each its own jit; enqueue-N
+        # method as above). Cotangents are ones-like (cost, not values).
+        def timed(fn, *fargs, reps=3, n1=2, n2=6):
+            jfn = jax.jit(fn)
+            r = jfn(*fargs)
+            jax.tree_util.tree_leaves(r)[0].block_until_ready()
+            np0 = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+
+            def go(n):
+                t0 = time.perf_counter()
+                for _ in range(n):
+                    r2 = jfn(*fargs)
+                np.asarray(jax.tree_util.tree_leaves(r2)[0]).ravel()[:1]
+                return time.perf_counter() - t0
+
+            go(1)
+            a = statistics.median(go(n1) for _ in range(reps))
+            b = statistics.median(go(n2) for _ in range(reps))
+            return (b - a) / (n2 - n1)
+
+        import time
+
+        from vosk_tts_tpu.models import vits2 as V
+
+        pg = state["params_g"]
+
+        def g_fwd(p):
+            o = V.forward_train(p, mcfg, batch["x"], batch["x_lengths"],
+                                batch["mel"], batch["mel_lengths"], batch["sid"],
+                                rng=jax.random.PRNGKey(3))
+            return o["wav"]
+
+        t_gf = timed(g_fwd, pg)
+
+        def g_fwd_bwd(p):
+            o, vjp = jax.vjp(g_fwd, p)
+            (g,) = vjp(jnp.ones_like(o))
+            return jax.tree_util.tree_leaves(g)[0]
+
+        t_gfb = timed(g_fwd_bwd, pg)
+
+        y_hat = jnp.asarray(rng.standard_normal((B, mcfg.segment_size * hop)).astype(np.float32)) * 0.1
+        y_real = jnp.asarray(rng.standard_normal((B, mcfg.segment_size * hop)).astype(np.float32)) * 0.1
+
+        from vosk_tts_tpu.models import discriminators as DD
+        from vosk_tts_tpu.train import losses as LL
+
+        def d_fwd_bwd(p):
+            def f(p):
+                yr, yg, _, _ = DD.mpmsd_apply(p, y_real, y_hat,
+                                              periods=tuple(tcfg.disc_periods),
+                                              spec_ffts=tuple(tcfg.disc_spec_ffts))
+                l, _, _ = LL.discriminator_loss(yr, yg)
+                return l + LL.discriminator_tprls_loss(yr, yg)
+            return jax.grad(f)(p)
+
+        t_dfb = timed(lambda p: jax.tree_util.tree_leaves(d_fwd_bwd(p))[0], state["params_d"])
+
+        out["decompose_ms"] = {
+            "g_forward": round(t_gf * 1e3, 2),
+            "g_forward_plus_vjp": round(t_gfb * 1e3, 2),
+            "d_step_fwd_bwd": round(t_dfb * 1e3, 2),
+        }
+        print(f"G fwd {t_gf*1e3:.1f} ms; G fwd+VJP {t_gfb*1e3:.1f} ms; "
+              f"D fwd+bwd {t_dfb*1e3:.1f} ms", flush=True)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

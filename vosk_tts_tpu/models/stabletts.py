@@ -142,29 +142,39 @@ def _dit_mha_flash(params, x, seq_mask, *, n_heads, interpret: bool = False):
     wq, bq = padded_cols(params["q"])
     wk, bk_ = padded_cols(params["k"])
     wv, bv = padded_cols(params["v"])
-    qkv = conv1d(x, jnp.concatenate([wq, wk, wv], axis=-1),
-                 jnp.concatenate([bq, bk_, bv]))  # (B, T, 3*cp)
 
-    h3 = 3 * n_heads
-    qkv4 = qkv.reshape(b, t, h3, dp)
-    d2 = d_rope // 2
-    rot = jnp.concatenate([-qkv4[..., d2:d_rope], qkv4[..., :d2]], axis=-1)
-    rot = jnp.pad(rot, ((0, 0), (0, 0), (0, 0), (0, dp - d_rope)))
+    def rot_cols(w, bvec):
+        """Sign-permuted copy: (x @ w_rot)[j] = rotate-half(x @ w)[j] on the
+        first d_rope lanes of each head, 0 after — RoPE's lane shuffle as a
+        weight permutation, combined in-kernel with the cos/sin tables."""
+        w4 = w.reshape(1, c, n_heads, dp)
+        b4 = bvec.reshape(n_heads, dp)
+        d2 = d_rope // 2
+        wr = jnp.zeros_like(w4)
+        br = jnp.zeros_like(b4)
+        wr = wr.at[..., :d2].set(-w4[..., d2:d_rope])
+        wr = wr.at[..., d2:d_rope].set(w4[..., :d2])
+        br = br.at[..., :d2].set(-b4[..., d2:d_rope])
+        br = br.at[..., d2:d_rope].set(b4[..., :d2])
+        return wr.reshape(1, c, cp), br.reshape(cp)
+
+    wqr, bqr = rot_cols(wq, bq)
+    wkr, bkr = rot_cols(wk, bk_)
+    qkv5 = conv1d(x, jnp.concatenate([wq, wk, wv, wqr, wkr], axis=-1),
+                  jnp.concatenate([bq, bk_, bv, bqr, bkr]))  # (B, T, 5*cp)
+
     theta = 1.0 / (10000.0 ** (jnp.arange(0, d_rope, 2, dtype=jnp.float32) / d_rope))
     ang = jnp.arange(t, dtype=jnp.float32)[:, None] * theta[None, :]
     ang2 = jnp.concatenate([ang, ang], axis=-1)  # (T, d_rope)
     ones = jnp.ones((t, dp - d_rope), jnp.float32)
     cosf = jnp.concatenate([jnp.cos(ang2), ones], axis=-1).astype(x.dtype)
     sinf = jnp.concatenate([jnp.sin(ang2), 0 * ones], axis=-1).astype(x.dtype)
-    is_qk = (jnp.arange(h3) < 2 * n_heads).astype(x.dtype)[None, None, :, None]
-    cos_eff = 1.0 + is_qk * (cosf[None, :, None, :] - 1.0)
-    sin_eff = is_qk * sinf[None, :, None, :]
-    qkv = (qkv4 * cos_eff + rot * sin_eff).reshape(b, t, 3 * cp)
 
     kv_len = jnp.sum(seq_mask.astype(jnp.int32), axis=1)
-    out = fa.global_flash_attention_packed(qkv, kv_len, n_heads=n_heads,
-                                           sm_scale=1.0 / math.sqrt(dk),
-                                           interpret=interpret)
+    out = fa.global_flash_attention_rope(qkv5, cosf, sinf, kv_len,
+                                         n_heads=n_heads,
+                                         sm_scale=1.0 / math.sqrt(dk),
+                                         interpret=interpret)
     wo4 = params["o"]["w"].reshape(1, n_heads, dk, c)
     wo4 = jnp.pad(wo4, ((0, 0), (0, 0), (0, dp - dk), (0, 0)))
     return conv1d(out, wo4.reshape(1, cp, c), params["o"]["b"])

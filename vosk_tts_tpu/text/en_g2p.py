@@ -692,7 +692,36 @@ class EnglishG2P:
         return list(self.cmu[a]) + second
 
     def _letter_to_sound(self, word: str) -> list:
+        """Last-resort OOV reading: the trained neural seq2seq (the
+        reference's g2p_en model family, trained from scratch on the local
+        CMUdict — text/neural_g2p.py, artifact text/g2p_en_lstm.npz) when
+        its artifact is present, else the rule engine."""
+        nn = self._neural()
+        if nn is not None:
+            phones = nn.predict(word)
+            # guardrails: valid phones and at least one vowel, else rules
+            if (phones and all(p in self._arpa for p in phones)
+                    and any(p[-1].isdigit() for p in phones)):
+                return phones
         return letter_to_sound(word)
+
+    _NEURAL_CACHE: dict = {}
+
+    def _neural(self):
+        if os.environ.get("VOSK_TTS_NEURAL_G2P", "1") == "0":
+            return None
+        if "model" not in self._NEURAL_CACHE:
+            path = os.path.join(os.path.dirname(__file__), "g2p_en_lstm.npz")
+            model = None
+            if os.path.exists(path):
+                try:
+                    from .neural_g2p import NeuralG2P
+
+                    model = NeuralG2P(path)
+                except Exception:
+                    model = None
+            self._NEURAL_CACHE["model"] = model
+        return self._NEURAL_CACHE["model"]
 
     # ------------------------------------------------------------------
     def __call__(self, text: str) -> list:

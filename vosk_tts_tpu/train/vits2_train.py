@@ -120,7 +120,7 @@ def set_lr(state, lr):
 
 
 def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_scale: float = 0.0,
-                    slm=None):
+                    slm=None, compute_dtype=None):
     """Returns jit-able ``step(state, batch, rng) -> (state, metrics)``.
 
     batch: x (B,Tx) int32, x_lengths (B,), mel (B,Tf,n_mel), mel_lengths (B,),
@@ -131,8 +131,22 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
     enabling the WavLM/SLM loss branch (train_ms.py:397-406,441-444); the
     state must then also carry params_wd/opt_wd (init_train_state with
     tcfg.use_slm=True).
+
+    ``compute_dtype``: e.g. jnp.bfloat16 for mixed-precision training — the
+    TPU analogue of the reference's AMP GradScaler path (train_ms.py:297):
+    forwards/backwards run in bf16 through a differentiable cast of the f32
+    master params (cotangents come back f32 at the cast boundary, so the
+    optimizer state and updates stay full precision); bf16 keeps f32's
+    exponent range, so no loss scaling is needed.
     """
     opt = make_optimizer(tcfg)
+
+    def _c(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
     if slm is not None:
         from ..models.wavlm import stacked_hidden_states, wavlm_apply
         from ..ops.resample import resample
@@ -155,13 +169,13 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
 
     def step(state, batch, rng):
         x, x_lengths = batch["x"], batch["x_lengths"]
-        mel, mel_lengths = batch["mel"], batch["mel_lengths"]
-        wav, sid = batch["wav"], batch["sid"]
+        mel, mel_lengths = _c(batch["mel"]), batch["mel_lengths"]
+        wav, sid = _c(batch["wav"]), batch["sid"]
 
         # ---- G forward once, VJP captured -------------------------------
         def fwd(params_g):
             out = vits2.forward_train(
-                params_g, mcfg, x, x_lengths, mel, mel_lengths, sid,
+                _c(params_g), mcfg, x, x_lengths, mel, mel_lengths, sid,
                 rng=rng, mas_noise_scale=mas_noise_scale,
             )
             ids = out.pop("ids_slice")
@@ -179,7 +193,7 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
 
         # ---- Discriminator update (train_ms.py:377-412) ------------------
         def d_loss_fn(params_d):
-            yr, yg, _, _ = D.mpmsd_apply(params_d, y_real, jax.lax.stop_gradient(y_hat),
+            yr, yg, _, _ = D.mpmsd_apply(_c(params_d), y_real, jax.lax.stop_gradient(y_hat),
                                          periods=periods, spec_ffts=spec_ffts)
             loss_disc, _, _ = L.discriminator_loss(yr, yg)
             loss_tprls = L.discriminator_tprls_loss(yr, yg)
@@ -215,7 +229,7 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
             logw_g = jax.lax.stop_gradient(out["logw"])
 
             def dur_loss_fn(p):
-                pr, pg = D.duration_disc_apply(p, hx, xm, logw_r, logw_g)
+                pr, pg = D.duration_disc_apply(_c(p), hx, xm, logw_r, logw_g)
                 loss, _, _ = L.discriminator_loss([pr], [pg])
                 return loss
 
@@ -228,7 +242,7 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
         def g_loss_fn(o):
             yh = o["wav"][..., 0]
             yh_mel = mel_of(yh)
-            yr_, yg_, fmap_r, fmap_g = D.mpmsd_apply(params_d, y_real, yh,
+            yr_, yg_, fmap_r, fmap_g = D.mpmsd_apply(_c(params_d), y_real, yh,
                                                      periods=periods, spec_ffts=spec_ffts)
             loss_gen, _ = L.generator_loss(yg_)
             loss_gen_tprls = L.generator_tprls_loss(yr_, yg_)
@@ -246,7 +260,7 @@ def make_train_step(mcfg: vits2.VITS2Config, tcfg: TrainConfig, *, mas_noise_sca
                 loss_subband = 0.0
             total = loss_gen + loss_gen_tprls + loss_fm + loss_mel + loss_dur + loss_kl + loss_subband
             if params_dur is not None:
-                pr, pg = D.duration_disc_apply(params_dur, o["x"], out["x_mask"], o["logw_"], o["logw"])
+                pr, pg = D.duration_disc_apply(_c(params_dur), o["x"], out["x_mask"], o["logw_"], o["logw"])
                 loss_dur_gen, _ = L.generator_loss([pg])
                 total = total + loss_dur_gen
             if slm is not None and params_wd is not None:
