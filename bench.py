@@ -256,7 +256,6 @@ def bench_gpt_sovits():
 
     acfg = GS.ARConfig()
     aparams = GS.ar_init(jax.random.PRNGKey(0), acfg)
-    aparams["predict"]["w"] = aparams["predict"]["w"].at[:, acfg.eos].add(-100.0)
     scfg = GS.SoVITSConfig()
     sparams = GS.sovits_init(jax.random.PRNGKey(2), scfg)
     if DTYPE == "bfloat16":
@@ -275,8 +274,10 @@ def bench_gpt_sovits():
     def ar1(c):
         rng, acc = c
         rng, sub = jax.random.split(rng)
+        # min_new=NEW: the loop must run full length for an honest
+        # tokens/s (random-init models EOS immediately otherwise)
         toks, n = GS.ar_infer(aparams, acfg, x1, bert1, prompts1, rng=sub,
-                              max_new=NEW, top_k=15, x_len=TX)
+                              max_new=NEW, min_new=NEW, top_k=15, x_len=TX)
         return rng, acc + jnp.sum(toks).astype(jnp.float32) + n.astype(jnp.float32)
 
     t1, _, _ = device_timeit(ar1, c0, n1=2, n2=6, reps=3)
@@ -290,7 +291,7 @@ def bench_gpt_sovits():
         rng, acc = c
         rng, sub = jax.random.split(rng)
         toks, n = GS.ar_infer_batch(aparams, acfg, xb, xlb, bertb, promptsb,
-                                    rng=sub, max_new=NEW, top_k=15)
+                                    rng=sub, max_new=NEW, min_new=NEW, top_k=15)
         return rng, acc + jnp.sum(toks).astype(jnp.float32) + jnp.sum(n).astype(jnp.float32)
 
     tb, _, _ = device_timeit(arb, c0, n1=2, n2=6, reps=3)

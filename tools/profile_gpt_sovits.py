@@ -53,9 +53,9 @@ def main():
     else:
         acfg = GS.ARConfig()
     aparams = GS.ar_init(jax.random.PRNGKey(0), acfg)
-    # suppress EOS so the loop runs to max_new (random weights would stop
-    # at a random step otherwise; the per-token cost is what we measure)
-    aparams["predict"]["w"] = aparams["predict"]["w"].at[:, acfg.eos].add(-100.0)
+    # min_new=max_new forces full-length decodes (random weights EOS
+    # immediately; editing the EOS weight column does NOT suppress the
+    # logit — it adds -100*sum(h), which can be positive)
     if args.dtype == "bfloat16":
         aparams = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, aparams)
@@ -78,7 +78,7 @@ def main():
         rng, acc = c
         rng, sub = jax.random.split(rng)
         toks, n = GS.ar_infer(aparams, acfg, x1, bert1, prompts1, rng=sub,
-                              max_new=NEW, top_k=15, x_len=TX)
+                              max_new=NEW, min_new=NEW, top_k=15, x_len=TX)
         return rng, acc + jnp.sum(toks).astype(jnp.float32) + n.astype(jnp.float32)
 
     c0 = (jax.random.PRNGKey(1), jnp.zeros((), jnp.float32))
@@ -97,7 +97,7 @@ def main():
         rng, acc = c
         rng, sub = jax.random.split(rng)
         toks, n = GS.ar_infer_batch(aparams, acfg, xb, xlb, bertb, promptsb,
-                                    rng=sub, max_new=NEW, top_k=15)
+                                    rng=sub, max_new=NEW, min_new=NEW, top_k=15)
         return rng, acc + jnp.sum(toks).astype(jnp.float32) + jnp.sum(n).astype(jnp.float32)
 
     tb = timeit(f"ar_infer_batch B={B} ({NEW} tokens)", arb, c0)

@@ -57,13 +57,24 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--out", default=os.path.join(ROOT, "vosk_tts_tpu/text/g2p_en_lstm.npz"))
-    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu | axon (TPU: ~1.5 ms/step vs ~0.7 s/step CPU; "
+                         "steps run in scan chunks so the relay dispatch "
+                         "amortizes)")
+    ap.add_argument("--chunk", type=int, default=50,
+                    help="train steps per device call (lax.scan chunk)")
     args = ap.parse_args()
+
+    import signal
+
+    signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
+    signal.alarm(int(os.environ.get("TRAIN_TIMEOUT_S", "3000")))
 
     os.environ.setdefault("JAX_PLATFORMS", args.platform)
     import jax
 
-    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -117,18 +128,25 @@ def main():
 
     def loss_fn(p, wid, pin, tgt):
         logits = NG.teacher_logits_jax(p, wid, pin)
-        mask = (tgt > 0) | (jnp.cumsum(tgt == 2, axis=1) <= 1) & (tgt == 2)
-        mask = ((tgt > 0) | (tgt == 2)).astype(jnp.float32)
         # positions after EOS are PAD(0) targets -> masked; EOS itself kept
+        mask = ((tgt > 0) | (tgt == 2)).astype(jnp.float32)
         lp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
         return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
 
     @jax.jit
-    def step(p, o, wid, pin, tgt):
-        l, g = jax.value_and_grad(loss_fn)(p, wid, pin, tgt)
-        up, o = opt.update(g, o, p)
-        return optax.apply_updates(p, up), o, l
+    def step_chunk(p, o, wids, pins, tgts):
+        """lax.scan over a (K, B, ...) stack of batches — ONE device call
+        per K steps (the axon relay costs ~25 ms per call)."""
+        def body(carry, xs):
+            p, o = carry
+            wid, pin, tgt = xs
+            l, g = jax.value_and_grad(loss_fn)(p, wid, pin, tgt)
+            up, o = opt.update(g, o, p)
+            return (optax.apply_updates(p, up), o), l
+
+        (p, o), ls = jax.lax.scan(body, (p, o), (wids, pins, tgts))
+        return p, o, jnp.mean(ls)
 
     def np_per(model, words):
         strip = lambda ps: [x.rstrip("012") for x in ps]
@@ -145,17 +163,21 @@ def main():
     best_dev = 1e9
     tmp_path = args.out + ".tmp.npz"
     t0 = time.time()
+    K = args.chunk
     for ep in range(args.epochs):
         order = rngnp.permutation(n)
-        tot = 0.0
+        tot, nchunks = 0.0, 0
         nb = n // args.batch
-        for bi in range(nb):
-            idx = order[bi * args.batch : (bi + 1) * args.batch]
-            params, opt_state, l = step(params, opt_state,
-                                        jnp.asarray(wid_tr[idx]),
-                                        jnp.asarray(pin_tr[idx]),
-                                        jnp.asarray(tgt_tr[idx]))
+        for ci in range(0, nb, K):
+            k = min(K, nb - ci)
+            idx = order[ci * args.batch : (ci + k) * args.batch]
+            stack = lambda a: jnp.asarray(
+                a[idx].reshape(k, args.batch, *a.shape[1:]))
+            params, opt_state, l = step_chunk(
+                params, opt_state, stack(wid_tr), stack(pin_tr), stack(tgt_tr))
             tot += float(l)
+            nchunks += 1
+        nb = nchunks
         # dev PER via the numpy inference path (what ships)
         np.savez(tmp_path, **NG.flatten_for_npz(
             jax.tree_util.tree_map(np.asarray, params), phones))

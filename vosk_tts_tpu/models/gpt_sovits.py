@@ -342,6 +342,7 @@ def ar_infer(
     *,
     rng: jax.Array,
     max_new: int = 600,
+    min_new: int = 0,
     top_k: int = 15,
     top_p: float = 1.0,
     temperature: float = 1.0,
@@ -351,6 +352,11 @@ def ar_infer(
     """infer_panel (t2s_model.py:324-447) as prefill + while_loop decode.
 
     Returns (tokens (1, max_new), n_generated) — tokens beyond n are EOS-pad.
+
+    min_new: ignore EOS for the first ``min_new`` tokens (a minimum-length
+    control; the benches set min_new=max_new to time full-length decodes —
+    editing the EOS weight column does NOT suppress the EOS logit, it adds
+    -100*sum(h) which can be positive, the round-5 bench bug).
 
     x_len: true text length when x_ids is right-padded to a bucket; padded
     positions are masked out of every attention (prefill bias + decode key
@@ -418,11 +424,11 @@ def ar_infer(
         rng, r = jax.random.split(rng)
         nxt = sample_logits(r, logits, prev_mask, top_k=top_k, top_p=top_p,
                             repetition_penalty=repetition_penalty, temperature=temperature).astype(jnp.int32)
-        is_eos = (jnp.argmax(logits) == cfg.eos) | (nxt == cfg.eos)
+        is_eos = ((jnp.argmax(logits) == cfg.eos) | (nxt == cfg.eos)) & (i >= min_new)
         tokens = tokens.at[i].set(jnp.where(is_eos, cfg.eos, nxt))
         return (i + 1, is_eos, tokens, cache_k, cache_v, prev_mask, rng)
 
-    state = (jnp.asarray(1), first == cfg.eos, tokens0, cache_k, cache_v,
+    state = (jnp.asarray(1), (first == cfg.eos) & (min_new < 1), tokens0, cache_k, cache_v,
              prev_mask0.at[first].set(True), rng)
     i, stop, tokens, *_ = lax.while_loop(cond, body, state)
     n = jnp.where(stop, i - 1, i)  # EOS token itself is dropped (:447 y[:, :-1])
@@ -439,6 +445,7 @@ def ar_infer_batch(
     *,
     rng: jax.Array,
     max_new: int = 600,
+    min_new: int = 0,
     top_k: int = 15,
     top_p: float = 1.0,
     temperature: float = 1.0,
@@ -446,6 +453,8 @@ def ar_infer_batch(
 ):
     """Batched infer_panel: every row decodes until its own EOS; finished
     rows freeze while the loop runs until all rows stop (or max_new).
+    ``min_new``: per-row EOS ignored for the first min_new tokens (see
+    ar_infer).
 
     Returns (tokens (B, max_new), n (B,)) — per-row EOS-pad beyond n. The
     reference AR loop is batch-1 (t2s_model.py:324); this serves pod-scale
@@ -514,12 +523,12 @@ def ar_infer_batch(
         prev_mask = prev_mask.at[jnp.arange(b), last].set(True)
         rng, r = jax.random.split(rng)
         nxt = sample_v(jax.random.split(r, b), logits, prev_mask).astype(jnp.int32)
-        is_eos = (jnp.argmax(logits, axis=-1) == cfg.eos) | (nxt == cfg.eos)
+        is_eos = ((jnp.argmax(logits, axis=-1) == cfg.eos) | (nxt == cfg.eos)) & (i >= min_new)
         nxt = jnp.where(done | is_eos, cfg.eos, nxt)
         tokens = tokens.at[:, i].set(nxt)
         return (i + 1, done | is_eos, tokens, cache_k, cache_v, prev_mask, rng)
 
-    state = (jnp.asarray(1), first == cfg.eos, tokens0, cache_k, cache_v,
+    state = (jnp.asarray(1), (first == cfg.eos) & (min_new < 1), tokens0, cache_k, cache_v,
              prev_mask0.at[jnp.arange(b), first].set(True), rng)
     i, done, tokens, *_ = lax.while_loop(cond, body, state)
     # per-row n: first EOS position (the EOS itself is dropped, :447)
