@@ -33,7 +33,12 @@ def main():
                     help="compute dtype (bfloat16 = the reference's AMP analogue)")
     ap.add_argument("--decompose", action="store_true",
                     help="also measure per-stage fwd/VJP pieces (VERDICT r4 weak-6)")
+    ap.add_argument("--decompose-only", action="store_true",
+                    help="skip the whole-step timing (its fp32 compile can OOM "
+                         "the remote compile helper) and measure only stages")
     args = ap.parse_args()
+    if args.decompose_only:
+        args.decompose = True
 
     signal.signal(signal.SIGALRM, lambda *a: (print("TIMEOUT", flush=True), os._exit(1)))
     signal.alarm(int(os.environ.get("PROFILE_TIMEOUT_S", "2400")))
@@ -87,9 +92,13 @@ def main():
     # ~25 ms dispatch overhead amortizes across N (CLAUDE.md method #2).
     import time
 
+    per, flops = None, 0.0
     jstep = jax.jit(step)
-    st, metrics = jstep(state, batch, jax.random.PRNGKey(1))
-    float(metrics["loss_gen_all"])  # warm + sync
+    if args.decompose_only:
+        st = state
+    else:
+        st, metrics = jstep(state, batch, jax.random.PRNGKey(1))
+        float(metrics["loss_gen_all"])  # warm + sync
 
     def run(n):
         t0 = time.perf_counter()
@@ -100,48 +109,55 @@ def main():
         float(m["loss_gen_all"])  # one fetch syncs the chain
         return time.perf_counter() - t0
 
-    run(2)
-    import statistics
-    n1, n2 = 2, 8
-    t1 = statistics.median(run(n1) for _ in range(3))
-    t2 = statistics.median(run(n2) for _ in range(3))
-    per = (t2 - t1) / (n2 - n1)
     samples = B * TF * hop
-    print(f"GAN train step (B={B}, spec {TF}f, seg {mcfg.segment_size * hop} "
-          f"samples, {args.dtype}): {per*1e3:.1f} ms", flush=True)
+    import statistics
 
-    # XLA's own FLOP count for the whole step -> model FLOP utilization
-    try:
-        ca = jstep.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        flops = float(ca.get("flops", 0.0))
-    except Exception:
-        flops = 0.0
-    mfu = flops / per / 186e12 if flops else 0.0
+    out = {"config": f"mb-istft-vits2 B={B} TX={TX} TF={TF} {args.dtype}"}
+    if not args.decompose_only:
+        run(2)
+        n1, n2 = 2, 8
+        t1 = statistics.median(run(n1) for _ in range(3))
+        t2 = statistics.median(run(n2) for _ in range(3))
+        per = (t2 - t1) / (n2 - n1)
+        print(f"GAN train step (B={B}, spec {TF}f, seg {mcfg.segment_size * hop} "
+              f"samples, {args.dtype}): {per*1e3:.1f} ms", flush=True)
 
-    out = {
-        "train_step_ms": round(per * 1e3, 2),
-        "samples_per_s": round(samples / per, 0),
-        "audio_s_per_s_train": round(samples / 22050 / per, 1),
-        "step_tflop": round(flops / 1e12, 3),
-        "mfu_vs_bf16_anchor": round(mfu, 3),
-        "config": f"mb-istft-vits2 B={B} TX={TX} TF={TF} {args.dtype}",
-    }
+        # XLA's own FLOP count for the whole step -> model FLOP utilization
+        try:
+            ca = jstep.lower(state, batch, jax.random.PRNGKey(1)).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        mfu = flops / per / 186e12 if flops else 0.0
+        out.update({
+            "train_step_ms": round(per * 1e3, 2),
+            "samples_per_s": round(samples / per, 0),
+            "audio_s_per_s_train": round(samples / 22050 / per, 1),
+            "step_tflop": round(flops / 1e12, 3),
+            "mfu_vs_bf16_anchor": round(mfu, 3),
+        })
 
     if args.decompose:
-        # per-stage fwd / fwd+VJP device times (each its own jit; enqueue-N
-        # method as above). Cotangents are ones-like (cost, not values).
-        def timed(fn, *fargs, reps=3, n1=2, n2=6):
-            jfn = jax.jit(fn)
-            r = jfn(*fargs)
-            jax.tree_util.tree_leaves(r)[0].block_until_ready()
-            np0 = np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        # Per-stage fwd / fwd+VJP device times. Each stage fn maps a scalar
+        # carry to a scalar with a REAL data dependence through the whole
+        # computation (perturb one input by s*1e-30, reduce the output) —
+        # through the axon relay, independent repeated calls do NOT time
+        # honestly; only a chained sequence does (CLAUDE.md).
+        import time
+
+        from vosk_tts_tpu.models import vits2 as V
+
+        def timed(stage_fn, reps=3, n1=2, n2=6):
+            jfn = jax.jit(stage_fn)
+            float(jfn(jnp.zeros(())))
 
             def go(n):
                 t0 = time.perf_counter()
+                s2 = jnp.zeros(())
                 for _ in range(n):
-                    r2 = jfn(*fargs)
-                np.asarray(jax.tree_util.tree_leaves(r2)[0]).ravel()[:1]
+                    s2 = jfn(s2)
+                float(s2)
                 return time.perf_counter() - t0
 
             go(1)
@@ -149,26 +165,32 @@ def main():
             b = statistics.median(go(n2) for _ in range(reps))
             return (b - a) / (n2 - n1)
 
-        import time
-
-        from vosk_tts_tpu.models import vits2 as V
-
         pg = state["params_g"]
 
-        def g_fwd(p):
+        def _fwd(p):
             o = V.forward_train(p, mcfg, batch["x"], batch["x_lengths"],
                                 batch["mel"], batch["mel_lengths"], batch["sid"],
                                 rng=jax.random.PRNGKey(3))
             return o["wav"]
 
-        t_gf = timed(g_fwd, pg)
+        def _perturb(p, s):
+            q = dict(p)
+            q["emb_g"] = p["emb_g"] + (s * 1e-30).astype(p["emb_g"].dtype)
+            return q
 
-        def g_fwd_bwd(p):
-            o, vjp = jax.vjp(g_fwd, p)
+        def g_fwd_stage(s):
+            o = _fwd(_perturb(pg, s))
+            return jnp.sum(o[:1, :4, 0]).astype(jnp.float32) * 1e-20 + s * 0.5
+
+        t_gf = timed(g_fwd_stage)
+
+        def g_fwd_bwd_stage(s):
+            o, vjp = jax.vjp(_fwd, _perturb(pg, s))
             (g,) = vjp(jnp.ones_like(o))
-            return jax.tree_util.tree_leaves(g)[0]
+            leaf = jax.tree_util.tree_leaves(g)[0]
+            return jnp.sum(leaf.astype(jnp.float32)[:1]) * 1e-20 + s * 0.5
 
-        t_gfb = timed(g_fwd_bwd, pg)
+        t_gfb = timed(g_fwd_bwd_stage)
 
         y_hat = jnp.asarray(rng.standard_normal((B, mcfg.segment_size * hop)).astype(np.float32)) * 0.1
         y_real = jnp.asarray(rng.standard_normal((B, mcfg.segment_size * hop)).astype(np.float32)) * 0.1
@@ -176,16 +198,19 @@ def main():
         from vosk_tts_tpu.models import discriminators as DD
         from vosk_tts_tpu.train import losses as LL
 
-        def d_fwd_bwd(p):
+        def d_stage(s):
             def f(p):
-                yr, yg, _, _ = DD.mpmsd_apply(p, y_real, y_hat,
+                yr, yg, _, _ = DD.mpmsd_apply(p, y_real, y_hat + (s * 1e-30),
                                               periods=tuple(tcfg.disc_periods),
                                               spec_ffts=tuple(tcfg.disc_spec_ffts))
                 l, _, _ = LL.discriminator_loss(yr, yg)
                 return l + LL.discriminator_tprls_loss(yr, yg)
-            return jax.grad(f)(p)
 
-        t_dfb = timed(lambda p: jax.tree_util.tree_leaves(d_fwd_bwd(p))[0], state["params_d"])
+            g = jax.grad(f)(state["params_d"])
+            leaf = jax.tree_util.tree_leaves(g)[0]
+            return jnp.sum(leaf.astype(jnp.float32).ravel()[:4]) * 1e-20 + s * 0.5
+
+        t_dfb = timed(d_stage)
 
         out["decompose_ms"] = {
             "g_forward": round(t_gf * 1e3, 2),
