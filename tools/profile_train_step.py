@@ -171,7 +171,9 @@ def main():
             o = V.forward_train(p, mcfg, batch["x"], batch["x_lengths"],
                                 batch["mel"], batch["mel_lengths"], batch["sid"],
                                 rng=jax.random.PRNGKey(3))
-            return o["wav"]
+            o.pop("ids_slice")
+            return o  # EVERY output — returning only wav lets XLA prune
+                      # the MAS/SDP/flow branches that don't feed it
 
         def _perturb(p, s):
             q = dict(p)
@@ -180,15 +182,20 @@ def main():
 
         def g_fwd_stage(s):
             o = _fwd(_perturb(pg, s))
-            return jnp.sum(o[:1, :4, 0]).astype(jnp.float32) * 1e-20 + s * 0.5
+            # reduce over ALL outputs — sliced/partial reductions let XLA
+            # dead-code-eliminate whole branches
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(o))
+            return tot * 1e-20 + s * 0.5
 
         t_gf = timed(g_fwd_stage)
 
         def g_fwd_bwd_stage(s):
             o, vjp = jax.vjp(_fwd, _perturb(pg, s))
-            (g,) = vjp(jnp.ones_like(o))
-            leaf = jax.tree_util.tree_leaves(g)[0]
-            return jnp.sum(leaf.astype(jnp.float32)[:1]) * 1e-20 + s * 0.5
+            (g,) = vjp(jax.tree_util.tree_map(jnp.ones_like, o))
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(g))
+            return tot * 1e-20 + s * 0.5
 
         t_gfb = timed(g_fwd_bwd_stage)
 
@@ -207,8 +214,9 @@ def main():
                 return l + LL.discriminator_tprls_loss(yr, yg)
 
             g = jax.grad(f)(state["params_d"])
-            leaf = jax.tree_util.tree_leaves(g)[0]
-            return jnp.sum(leaf.astype(jnp.float32).ravel()[:4]) * 1e-20 + s * 0.5
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(g))
+            return tot * 1e-20 + s * 0.5
 
         t_dfb = timed(d_stage)
 
