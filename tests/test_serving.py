@@ -239,3 +239,20 @@ def test_server_serves_multistream_bundle(ms_bundle, tmp_path):
     finally:
         servicer.batcher.close()
         server.stop(0)
+
+
+def test_split_decode_groups_multistream():
+    from vosk_tts_tpu.serving.batcher import split_decode_groups
+
+    # homogeneous: one group at the mel-frame bucket
+    g = split_decode_groups([300, 310, 290], 64, multistream=True)
+    assert len(g) == 1
+    idx, fb, gen = g[0]
+    assert sorted(idx) == [0, 1, 2] and fb == 384 and gen is None
+
+    # spread: short items split off; caps respect min(bucket*48, 4096)
+    g = split_decode_groups([200, 3900, 250], 128, multistream=True)
+    assert len(g) == 2
+    (i1, fb1, _), (i2, fb2, _) = g
+    assert sorted(i1) == [0, 2] and fb1 == 256
+    assert i2 == [1] and fb2 == 4096  # min(ladder 4480, cap 4096)

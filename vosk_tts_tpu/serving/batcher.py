@@ -34,7 +34,7 @@ from ..api import (TEXT_BUCKETS, FRAMES_PER_TOKEN, MS_FRAMES_PER_TOKEN,
                    pick_gen_frames, pick_ms_frame_bucket)
 
 
-def split_decode_groups(preds, text_bucket: int):
+def split_decode_groups(preds, text_bucket: int, *, multistream: bool = False):
     """Partition a mixed batch into at most TWO decode groups by predicted
     frame count, so a short utterance co-batched with a long one no longer
     pays the long one's frame bucket (VERDICT r4 weak-7).
@@ -43,12 +43,18 @@ def split_decode_groups(preds, text_bucket: int):
     ``(indices, frame_bucket, gen_frames)``; the split point is chosen by
     minimizing total decoded generator frames (n_items x gen per group),
     and a split is only taken when it actually reduces that cost (i.e. the
-    bucket spread exceeds a ladder step)."""
+    bucket spread exceeds a ladder step). ``multistream``: use the
+    StableTTS frame-bucket picker (mel frames, 48/token cap); gen slicing
+    does not apply there (the ODE must run at the full bucket), so gen is
+    always None and cost = bucket."""
     n = len(preds)
     order = sorted(range(n), key=lambda i: preds[i])
 
     def group_cost(idx):
         mx = max(preds[i] for i in idx)
+        if multistream:
+            fb = pick_ms_frame_bucket(int(mx), text_bucket)
+            return fb, fb, None
         fb = pick_frame_bucket(int(mx), text_bucket)
         gen = pick_gen_frames(int(mx), fb)
         return fb if gen is None else gen, fb, gen
@@ -255,13 +261,31 @@ class BatchSynthesizer:
             else:
                 # duration-adaptive SPLIT: text/duration encoders once, then
                 # the 10-step CFM ODE + vocoder at the smallest frame bucket
-                # the batch needs (VERDICT r4 missing-2)
+                # each group needs (VERDICT r4 missing-2) — mixed batches
+                # regroup into <=2 decode calls like the plain branch
                 enc = self._ms_encode_runner()(
                     self.model.params, xj, xlj, sidj, bertj, pdej, inv_rate)
-                max_frames = pick_ms_frame_bucket(
-                    int(np.max(np.asarray(enc["pred_frames"]))), bucket)
-                wav, mel_lengths = self._ms_decode_runner(bucket, max_frames)(
-                    self.model.params, enc, sidj, rng, noise)
+                preds = np.asarray(enc["pred_frames"])
+                groups = split_decode_groups(
+                    [int(p) for p in preds[: len(items)]], bucket,
+                    multistream=True)
+                hop = self.model.config.get("hop_length", 256)
+                for idx, fb, _ in groups:
+                    bsub = 1
+                    while bsub < len(idx):
+                        bsub *= 2
+                    rows = jnp.asarray(idx + [idx[0]] * (bsub - len(idx)), jnp.int32)
+                    enc_sub = jax.tree_util.tree_map(
+                        lambda a: jnp.take(a, rows, axis=0), enc)
+                    wav, mel_lengths = self._ms_decode_runner(bucket, fb)(
+                        self.model.params, enc_sub, jnp.take(sidj, rows, axis=0),
+                        rng, jnp.take(noise, rows, axis=0))
+                    wavs = np.asarray(wav)
+                    lengths = np.asarray(mel_lengths) * hop
+                    for j, i in enumerate(idx):
+                        items[i].future.set_result(
+                            audio_float_to_int16(wavs[j, : lengths[j]]))
+                return
             hop = self.model.config.get("hop_length", 256)
             wavs = np.asarray(wav)
             lengths = np.asarray(mel_lengths) * hop
